@@ -1,0 +1,17 @@
+"""Test harness: force an 8-device virtual CPU mesh before jax initializes.
+
+This is the TPU analog of multi-node testing without a cluster (SURVEY.md §4): all
+sharding tests run on `--xla_force_host_platform_device_count=8` fake devices.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
