@@ -1,0 +1,117 @@
+"""Public inference API: (source image, reference image) → transferred image.
+
+Capability parity: the reference's product surface — ``runs/test.py`` →
+``TestDoubleControlModel.test_step`` → ``log_results``
+(/root/reference/diffmk/diffusion_makeup.py:385-464): per pair it emits
+  reconstruction            VAE round-trip of the teacher target
+  control_src / control_ref the two hints rescaled to [-1,1]
+  ground_truth              teacher target x_p
+  sample_ddmp               one-step preview (q_sample → eps → pred_x0 → decode)
+  samples                   50-step DDIM sample
+  samples_cfg_scale_9.00    50-step DDIM with classifier-free guidance 9.0
+
+TPU-first: the whole artifact set compiles into one jitted program per
+(batch, steps, scale) signature; the CFG loop runs the fused 2×-batch denoiser.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .config import ModelConfig, SampleConfig
+from .core.ddim import DDIMTables, ddim_sample
+from .core.schedule import DiffusionSchedule
+from .models.controlled_ldm import ControlledLDM, make_denoiser
+
+
+def transfer_artifacts(
+    model: ControlledLDM,
+    params,
+    sched: DiffusionSchedule,
+    tables: DDIMTables,
+    pgt_sr: jnp.ndarray,  # [B,H,W,3] teacher target in [-1,1]
+    src_img: jnp.ndarray,  # [B,H,W,3] in [0,1]
+    ref_img: jnp.ndarray,  # [B,H,W,3] in [0,1]
+    context: jnp.ndarray,  # [B,77,ctx] conditional CLIP context
+    uncond_context: jnp.ndarray,  # [B,77,ctx] empty-prompt context
+    rng: jax.Array,
+    t_min: int = 100,
+    cfg_scale: float = 9.0,
+    sample: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """log_results parity. All outputs are [-1,1] images (clamped by the caller or
+    here where the reference clamps)."""
+    cfg = model.cfg
+    b = pgt_sr.shape[0]
+    k_z, k_t, k_noise, k_samp, k_cfg = jax.random.split(rng, 5)
+    hint = jnp.concatenate([src_img, ref_img], axis=-1)
+
+    out: Dict[str, jnp.ndarray] = {}
+
+    # reconstruction: z = get_z(pgt) → decode (log_results :420-423)
+    mean, logvar = model.apply(params, pgt_sr, method=model.encode_moments)
+    z = cfg.scale_factor * (mean + jnp.exp(0.5 * logvar) * jax.random.normal(k_z, mean.shape))
+    out["reconstruction"] = model.apply(params, z, method=model.decode_latent)
+    out["control_src"] = src_img * 2.0 - 1.0
+    out["control_ref"] = ref_img * 2.0 - 1.0
+    out["ground_truth"] = pgt_sr
+
+    # one-step preview "sample_ddmp" (:437-442)
+    t = jax.random.randint(k_t, (b,), t_min, sched.num_timesteps)
+    noise = jax.random.normal(k_noise, z.shape)
+    x_noisy = sched.q_sample(z, t, noise)
+    eps = model.apply(params, x_noisy, t, context, hint, method=model.apply_eps)
+    x_recon = sched.predict_start_from_noise(x_noisy, t, eps)
+    out["sample_ddmp"] = model.apply(params, x_recon, method=model.decode_latent)
+
+    latent_shape = z.shape
+    if sample:
+        den = make_denoiser(model, params, context, hint)
+        x_T = jax.random.normal(k_samp, latent_shape)
+        z_samp = ddim_sample(den, x_T, tables)
+        out["samples"] = model.apply(params, z_samp, method=model.decode_latent)
+
+    if cfg_scale > 1.0:
+        den_cfg = make_denoiser(
+            model, params, context, hint,
+            uncond_context=uncond_context, cfg_scale=cfg_scale,
+        )
+        x_T = jax.random.normal(k_cfg, latent_shape)
+        z_cfg = ddim_sample(den_cfg, x_T, tables)
+        out[f"samples_cfg_scale_{cfg_scale:.2f}"] = model.apply(
+            params, z_cfg, method=model.decode_latent
+        )
+
+    return {k: jnp.clip(v, -1.0, 1.0) for k, v in out.items()}
+
+
+def transfer(
+    model: ControlledLDM,
+    params,
+    sched: DiffusionSchedule,
+    tables: DDIMTables,
+    src_img: jnp.ndarray,  # [B,H,W,3] in [0,1]
+    ref_img: jnp.ndarray,  # [B,H,W,3] in [0,1]
+    context: jnp.ndarray,
+    uncond_context: Optional[jnp.ndarray],
+    rng: jax.Array,
+    cfg_scale: float = 9.0,
+) -> jnp.ndarray:
+    """The minimal product call: CFG cDDIM sample from noise under dual-image
+    control → [-1,1] transferred image. (The reference's headline output is
+    `samples_cfg_scale_9.00`.)"""
+    cfg = model.cfg
+    b = src_img.shape[0]
+    hint = jnp.concatenate([src_img, ref_img], axis=-1)
+    den = make_denoiser(
+        model, params, context, hint,
+        uncond_context=uncond_context, cfg_scale=cfg_scale,
+    )
+    h = cfg.latent_size
+    x_T = jax.random.normal(rng, (b, h, h, cfg.latent_channels))
+    z = ddim_sample(den, x_T, tables)
+    img = model.apply(params, z, method=model.decode_latent)
+    return jnp.clip(img, -1.0, 1.0)

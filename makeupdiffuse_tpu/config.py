@@ -220,9 +220,10 @@ def tiny_test_config() -> Config:
             control=ControlNetConfig(model_channels=32, num_heads=4, context_dim=64,
                                      channel_mult=(1, 2), num_res_blocks=1,
                                      attention_resolutions=(1,), use_checkpoint=False),
-            vae=VAEConfig(ch=16, ch_mult=(1, 2), num_res_blocks=1),
+            # 4 levels → 8× spatial factor, matching the ControlNet hint stem's
+            # fixed 8× downsample (image 64² → latent 8²)
+            vae=VAEConfig(ch=16, ch_mult=(1, 2, 2, 2), num_res_blocks=1, resolution=64),
             clip=CLIPTextConfig(vocab_size=256, max_length=16, width=64, layers=2, heads=4),
-            num_control_levels=7,
             compute_dtype="float32",
         ),
         train=TrainConfig(batch_size=2),

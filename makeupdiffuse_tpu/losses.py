@@ -1,0 +1,199 @@
+"""The MakeupDiffuse composite training loss — pure functions over (model, params).
+
+Capability parity: ``BaseMakeUpDiffuse.p_losses`` and helpers
+(/root/reference/diffmk/makeup_diffuse.py:59-170) + region makeup loss
+(``PGTBaseModel.p_loss_makeup``, :346-357):
+
+  loss = l_simple·loss_base                                  (diffuse PGT, hint src‖ref)
+       + w_idt_src·loss_idt_src                              (gt nonmakeup, hint src‖src)
+       + w_idt_ref·loss_idt_ref                              (gt makeup,   hint ref‖ref)
+       + w_cycle_content·loss_cycle_content                  (gt nonmakeup, hint fake_sr‖src)
+       + w_cycle_makeup·loss_cycle_makeup                    (gt makeup,   hint ref‖fake_sr)
+       + w_bkgrd·loss_background                             (masked L2, seg∈{0,11,12})
+       + w_makeup·(λ_lip·L1_lip + λ_eye·L1_eye + λ_skin·L1_skin vs makeup_pgt)
+
+Each diffuse term: z=get_z(gt); t~U[tmin,T); x_t=q_sample; eps-loss with per-t logvar
+weighting (logvar≡0 ⇒ plain MSE, makeup_teacher.py:84-85); the base pass also yields
+fake_sr = decode(pred_x0) used by the cycle/background/makeup terms (:119-148).
+
+TPU-first restructuring (SURVEY.md §7 step 8 / "hard parts"):
+  * The reference runs 5 sequential ControlNet+UNet forwards + 5 VAE encodes per
+    optimizer step. Here stage A stacks (base ‖ idt_src ‖ idt_ref) into ONE 3B-batch
+    forward, then decodes fake_sr, then stage B stacks (cycle_content ‖ cycle_makeup)
+    into ONE 2B-batch forward — 2 forwards instead of 5, one VAE moment-encode for
+    all three gt images with per-pass posterior resampling (matching the reference's
+    independent get_z draws).
+  * Gradients flow through fake_sr exactly as in the reference (no detach).
+
+Range-faithfulness note: the reference compares fake_sr∈[0,1] against
+makeup_pgt∈[-1,1] in the region loss (diffusion_makeup.py:77 vs makeup_diffuse.py:122)
+— reproduced verbatim; set ``align_pgt_range=True`` to map the PGT to [0,1] instead.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import ModelConfig
+from .core.schedule import DiffusionSchedule, extract
+from .models.controlled_ldm import ControlledLDM
+from .ops.masks import background_mask, expand_area
+
+
+def _posterior_z(mean, logvar, rng, scale):
+    return scale * (mean + jnp.exp(0.5 * logvar) * jax.random.normal(rng, mean.shape))
+
+
+def _eps_loss(sched: DiffusionSchedule, eps: jnp.ndarray, noise: jnp.ndarray,
+              t: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample eps MSE with logvar weighting (zeros ⇒ identity)."""
+    per = jnp.mean((eps - noise) ** 2, axis=(1, 2, 3))
+    logvar_t = sched.logvar[t]
+    return per / jnp.exp(logvar_t) + logvar_t
+
+
+def makeup_region_losses(
+    fake_sr: jnp.ndarray,  # [B,H,W,3]
+    makeup_pgt: jnp.ndarray,  # [B,H,W,3]
+    mask_s_full: jnp.ndarray,  # [B,H,W,4] (lip, face, eye_l, eye_r)
+    eye_margin: int,
+    lambda_lip: float,
+    lambda_eye: float,
+    lambda_skin: float,
+) -> jnp.ndarray:
+    """p_loss_makeup parity (makeup_diffuse.py:346-357): masked L1 per region,
+    EleGANt MakeupLoss semantics (mean over ALL elements of x·m − t·m)."""
+    lip = mask_s_full[..., 0:1]
+    face = mask_s_full[..., 1:2]
+    eye = expand_area(
+        jnp.clip(mask_s_full[..., 2] + mask_s_full[..., 3], 0, 1), eye_margin
+    )[..., None] * face
+    skin = face * (1.0 - eye)
+
+    def l1(m):
+        return jnp.mean(jnp.abs(fake_sr * m - makeup_pgt * m))
+
+    return lambda_lip * l1(lip) + lambda_eye * l1(eye) + lambda_skin * l1(skin)
+
+
+def composite_loss(
+    model: ControlledLDM,
+    params,
+    sched: DiffusionSchedule,
+    cfg: ModelConfig,
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+    t_min: jnp.ndarray,  # traced scalar — annealed without recompiling
+    align_pgt_range: bool = False,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """The full composite loss.
+
+    batch keys (all NHWC, ranges as the reference datasets emit them,
+    datasets.py:640-664):
+      src_img, ref_img            [B,H,W,3] in [0,1]
+      nonmakeup_img, makeup_img   [B,H,W,3] in [-1,1]
+      nonmakeup_seg               [B,H,W] int
+      mask_s_full                 [B,H,W,4]
+      pgt_sr                      [B,H,W,3] in [-1,1]  (teacher target)
+      makeup_pgt                  [B,H,W,3] in [-1,1]  (PGT side channel)
+      context                     [B,77,ctx]           (CLIP encoding of the prompt)
+    """
+    B = batch["src_img"].shape[0]
+    T = sched.num_timesteps
+    keys = jax.random.split(rng, 10)
+    loss_dict: Dict[str, jnp.ndarray] = {}
+
+    src, ref = batch["src_img"], batch["ref_img"]
+    ctx = batch["context"]
+
+    # ---- one VAE moment-encode for the three gt images --------------------------
+    gts = jnp.concatenate([batch["pgt_sr"], batch["nonmakeup_img"], batch["makeup_img"]], 0)
+    mean, logvar = model.apply(params, gts, method=model.encode_moments)
+    mean = jax.lax.stop_gradient(mean)      # reference detaches z (get_z, :37-40)
+    logvar = jax.lax.stop_gradient(logvar)
+    m_pgt, m_non, m_mk = jnp.split(mean, 3)
+    lv_pgt, lv_non, lv_mk = jnp.split(logvar, 3)
+    sf = cfg.scale_factor
+
+    # ---- stage A: (base ‖ idt_src ‖ idt_ref) in one forward ----------------------
+    z_a = jnp.concatenate([
+        _posterior_z(m_pgt, lv_pgt, keys[0], sf),
+        _posterior_z(m_non, lv_non, keys[1], sf),
+        _posterior_z(m_mk, lv_mk, keys[2], sf),
+    ])
+    t_base = jax.random.randint(keys[3], (B,), t_min, T)
+    t_ids = jax.random.randint(keys[4], (2 * B,), 0, T)
+    t_a = jnp.concatenate([t_base, t_ids])
+    hint_a = jnp.concatenate([
+        jnp.concatenate([src, ref], -1),
+        jnp.concatenate([src, src], -1),
+        jnp.concatenate([ref, ref], -1),
+    ])
+    noise_a = jax.random.normal(keys[5], z_a.shape)
+    x_a = sched.q_sample(z_a, t_a, noise_a)
+    eps_a = model.apply(params, x_a, t_a, jnp.tile(ctx, (3, 1, 1)), hint_a,
+                        method=model.apply_eps)
+    per_a = _eps_loss(sched, eps_a, noise_a, t_a)
+    loss_base = per_a[:B].mean()
+    loss_idt_src = per_a[B:2 * B].mean()
+    loss_idt_ref = per_a[2 * B:].mean()
+
+    # fake_sr from the base slice (x_recon → decode → clamp → [0,1])
+    fake_sr_z = sched.predict_start_from_noise(x_a[:B], t_a[:B], eps_a[:B])
+    fake_sr = model.apply(params, fake_sr_z, method=model.decode_latent)
+    fake_sr = (jnp.clip(fake_sr, -1.0, 1.0) + 1.0) / 2.0
+
+    # ---- stage B: (cycle_content ‖ cycle_makeup) in one forward ------------------
+    z_b = jnp.concatenate([
+        _posterior_z(m_non, lv_non, keys[6], sf),
+        _posterior_z(m_mk, lv_mk, keys[7], sf),
+    ])
+    t_b = jax.random.randint(keys[8], (2 * B,), 0, T)
+    hint_b = jnp.concatenate([
+        jnp.concatenate([fake_sr, src], -1),
+        jnp.concatenate([ref, fake_sr], -1),
+    ])
+    noise_b = jax.random.normal(keys[9], z_b.shape)
+    x_b = sched.q_sample(z_b, t_b, noise_b)
+    eps_b = model.apply(params, x_b, t_b, jnp.tile(ctx, (2, 1, 1)), hint_b,
+                        method=model.apply_eps)
+    per_b = _eps_loss(sched, eps_b, noise_b, t_b)
+    loss_cycle_content = per_b[:B].mean()
+    loss_cycle_makeup = per_b[B:].mean()
+
+    # ---- pixel-space terms --------------------------------------------------------
+    bk = background_mask(batch["nonmakeup_seg"])[..., None]
+    loss_background = jnp.mean(
+        jnp.mean((fake_sr - src) ** 2 * bk, axis=(1, 2, 3))
+    )
+
+    makeup_pgt = batch["makeup_pgt"]
+    if align_pgt_range:
+        makeup_pgt = (makeup_pgt + 1.0) / 2.0
+    loss_makeup = makeup_region_losses(
+        fake_sr, makeup_pgt, batch["mask_s_full"], eye_margin=12,
+        lambda_lip=cfg.lambda_lip, lambda_eye=cfg.lambda_eye, lambda_skin=cfg.lambda_skin,
+    )
+
+    loss = (
+        cfg.l_simple_weight * loss_base
+        + cfg.w_idt_src * loss_idt_src
+        + cfg.w_idt_ref * loss_idt_ref
+        + cfg.w_cycle_content * loss_cycle_content
+        + cfg.w_cycle_makeup * loss_cycle_makeup
+        + cfg.w_bkgrd * loss_background
+        + cfg.w_makeup * loss_makeup
+    )
+    loss_dict.update(
+        loss_base=loss_base,
+        loss_idt_src=loss_idt_src,
+        loss_idt_ref=loss_idt_ref,
+        loss_cycle_content=loss_cycle_content,
+        loss_cycle_makeup=loss_cycle_makeup,
+        loss_background=loss_background,
+        loss_makeup=loss_makeup,
+        loss=loss,
+    )
+    return loss, loss_dict

@@ -1,0 +1,121 @@
+"""CLIP ViT-L/14 text tower → (77, 768) cross-attention context.
+
+Capability parity: ``ldm.modules.encoders.modules.FrozenCLIPEmbedder``
+(/root/reference/diffmodels/base_diffusion_makeup.yaml:109-110), whose output feeds
+every cross-attention layer (get_cond_txt_coding,
+/root/reference/diffmk/makeup_teacher.py:33-42).
+
+The reference only ever encodes three constant prompts: "makeup transfer"
+(datasets.py:633), "makeup style transfer" (datasets.py:118) and "" (the CFG
+unconditional). `precompute_prompt_bank` exploits that: encode once, then training
+and sampling index an embedding bank instead of running the 12-layer tower per step
+— a TPU win the torch reference leaves on the table.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import CLIPTextConfig
+from ..ops.attention import causal_mask, mha_attention
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class CLIPAttention(nn.Module):
+    heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        b, n, c = x.shape
+        d = c // self.heads
+        q = nn.Dense(c, dtype=self.dtype, name="q_proj")(x).reshape(b, n, self.heads, d)
+        k = nn.Dense(c, dtype=self.dtype, name="k_proj")(x).reshape(b, n, self.heads, d)
+        v = nn.Dense(c, dtype=self.dtype, name="v_proj")(x).reshape(b, n, self.heads, d)
+        out = mha_attention(q, k, v, mask=mask).reshape(b, n, c)
+        return nn.Dense(c, dtype=self.dtype, name="out_proj")(out)
+
+
+class CLIPLayer(nn.Module):
+    heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x).astype(x.dtype)
+        x = x + CLIPAttention(self.heads, self.dtype, name="attn")(h, mask)
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x).astype(x.dtype)
+        h = nn.Dense(c * 4, dtype=self.dtype, name="fc1")(h)
+        h = quick_gelu(h)
+        x = x + nn.Dense(c, dtype=self.dtype, name="fc2")(h)
+        return x
+
+
+class CLIPTextEncoder(nn.Module):
+    cfg: CLIPTextConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        """input_ids [B, max_length] int32 → last hidden state [B, max_length, width]."""
+        cfg = self.cfg
+        tok = nn.Embed(cfg.vocab_size, cfg.width, dtype=self.dtype, name="token_embedding")(
+            input_ids
+        )
+        pos = self.param(
+            "position_embedding",
+            nn.initializers.normal(0.01),
+            (cfg.max_length, cfg.width),
+        )
+        x = tok + pos[None, : input_ids.shape[1]].astype(tok.dtype)
+        mask = causal_mask(input_ids.shape[1])
+        for i in range(cfg.layers):
+            x = CLIPLayer(cfg.heads, self.dtype, name=f"layer_{i}")(x, mask)
+        x = nn.LayerNorm(dtype=jnp.float32, name="final_ln")(x)
+        return x.astype(jnp.float32)
+
+
+# ---- fixed-prompt fast path --------------------------------------------------------
+
+# Token ids for the reference's constant prompts (startoftext=49406, eot=49407).
+# The word ids are placeholders pending a real CLIP BPE vocab: when one is supplied,
+# data/tokenizer.py::CLIPTokenizer regenerates this bank (`refresh_prompt_ids`), and
+# tools/convert_torch_ckpt.py can alternatively export the three context vectors
+# directly so no tokenizer is ever needed at inference time.
+PROMPT_IDS: Dict[str, list] = {
+    "": [49406, 49407],
+    "makeup transfer": [49406, 11778, 9206, 49407],
+    "makeup style transfer": [49406, 11778, 1626, 9206, 49407],
+}
+
+
+def prompt_token_ids(prompt: str, max_length: int = 77) -> jnp.ndarray:
+    """Pad-with-eot token ids for one of the known fixed prompts."""
+    if prompt not in PROMPT_IDS:
+        raise KeyError(
+            f"prompt {prompt!r} is not in the fixed-prompt bank; use data/tokenizer.py"
+        )
+    ids = PROMPT_IDS[prompt]
+    ids = ids + [49407] * (max_length - len(ids))
+    return jnp.asarray(ids[:max_length], dtype=jnp.int32)[None]
+
+
+def refresh_prompt_ids(tokenize) -> None:
+    """Re-derive the fixed-prompt bank with a real tokenizer (callable str→List[int])."""
+    for p in list(PROMPT_IDS):
+        PROMPT_IDS[p] = list(tokenize(p))
+
+
+def precompute_prompt_bank(encoder_apply, params, max_length: int = 77) -> Dict[str, jnp.ndarray]:
+    """Encode every fixed prompt once; callers index this bank per batch."""
+    return {
+        p: encoder_apply(params, prompt_token_ids(p, max_length))[0]
+        for p in PROMPT_IDS
+    }

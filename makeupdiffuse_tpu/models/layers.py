@@ -1,0 +1,226 @@
+"""Shared building blocks for the SD1.5 UNet / ControlNet / VAE (flax.linen, NHWC).
+
+Capability parity with the external backbones the reference imports
+(SURVEY.md §2b): openai-UNet ResBlock/SpatialTransformer/up-down sampling and the
+ldm timestep embedding, re-expressed TPU-first:
+  * NHWC activations + HWIO kernels (XLA's native TPU conv layout — no transposes).
+  * Zero-initialized projections where the reference uses ``zero_module`` (ControlNet
+    zero-convs, transformer proj_out, UNet final conv).
+  * Norm/activation kept in f32 while matmuls/convs run in the compute dtype (bf16).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import mha_attention
+
+Dtype = Any
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: int = 10000) -> jnp.ndarray:
+    """Sinusoidal timestep embedding, cos-first ordering (ldm util semantics)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+def zero_init() -> Callable:
+    return nn.initializers.zeros_init()
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm(32) computed in float32, cast back to the working dtype.
+
+    Hand-rolled (not nn.GroupNorm) so `scale`/`bias` live directly at this module's
+    path — keeping the torch-checkpoint name mapping flat (tools/convert_torch_ckpt)."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dtype = x.dtype
+        c = x.shape[-1]
+        # production channel counts are multiples of 32; the gcd fallback only
+        # triggers in miniature test configs
+        groups = self.num_groups if c % self.num_groups == 0 else math.gcd(c, self.num_groups)
+        scale = self.param("scale", nn.initializers.ones_init(), (c,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,))
+        xf = x.astype(jnp.float32)
+        shape = xf.shape[:-1] + (groups, c // groups)
+        xg = xf.reshape(shape)
+        red = tuple(range(1, xf.ndim - 1)) + (xf.ndim,)
+        mean = jnp.mean(xg, axis=red, keepdims=True)
+        var = jnp.mean(jnp.square(xg - mean), axis=red, keepdims=True)
+        xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
+        xf = xg.reshape(xf.shape) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return xf.astype(dtype)
+
+
+class ResBlock(nn.Module):
+    """openai-UNet ResBlock: GN/SiLU/conv → +time-emb → GN/SiLU/zero-conv, skip 1×1."""
+
+    out_channels: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        h = GroupNorm32(name="in_norm")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(h)
+
+        emb_out = nn.Dense(self.out_channels, dtype=self.dtype, name="emb_proj")(nn.silu(emb))
+        h = h + emb_out[:, None, None, :].astype(h.dtype)
+
+        h = GroupNorm32(name="out_norm")(h)
+        h = nn.silu(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout, deterministic=True)(h)
+        h = nn.Conv(
+            self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+            kernel_init=zero_init(), bias_init=zero_init(), name="out_conv",
+        )(h)
+
+        if in_ch != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="skip")(x)
+        return x + h
+
+
+class CrossAttention(nn.Module):
+    """ldm CrossAttention: context=None → self-attention."""
+
+    heads: int
+    dim_head: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        inner = self.heads * self.dim_head
+        ctx = x if context is None else context
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        b, nq, _ = q.shape
+        nk = k.shape[1]
+        q = q.reshape(b, nq, self.heads, self.dim_head)
+        k = k.reshape(b, nk, self.heads, self.dim_head)
+        v = v.reshape(b, nk, self.heads, self.dim_head)
+        out = mha_attention(q, k, v).reshape(b, nq, inner)
+        return nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(out)
+
+
+class FeedForwardGEGLU(nn.Module):
+    """ldm FeedForward with GEGLU: proj to 2·(4·dim), x·gelu(gate), proj back."""
+
+    dtype: Dtype = jnp.float32
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dim = x.shape[-1]
+        inner = dim * self.mult
+        xg = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
+        x1, gate = jnp.split(xg, 2, axis=-1)
+        h = x1 * nn.gelu(gate, approximate=False)
+        return nn.Dense(dim, dtype=self.dtype, name="proj_out")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """LN→self-attn, LN→cross-attn(context), LN→GEGLU-FF, all residual."""
+
+    heads: int
+    dim_head: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
+        x = x + CrossAttention(self.heads, self.dim_head, self.dtype, name="attn1")(
+            nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(x.dtype)
+        )
+        x = x + CrossAttention(self.heads, self.dim_head, self.dtype, name="attn2")(
+            nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(x.dtype), context
+        )
+        x = x + FeedForwardGEGLU(dtype=self.dtype, name="ff")(
+            nn.LayerNorm(dtype=jnp.float32, name="norm3")(x).astype(x.dtype)
+        )
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """GN(ε=1e-6) → 1×1 proj_in → depth× BasicTransformerBlock → zero 1×1 proj_out + residual."""
+
+    heads: int
+    depth: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        dim_head = c // self.heads
+        x_in = x
+        x = GroupNorm32(epsilon=1e-6, name="norm")(x)
+        x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(x)
+        x = x.reshape(b, h * w, c)
+        for i in range(self.depth):
+            x = BasicTransformerBlock(
+                self.heads, dim_head, self.dtype, name=f"block_{i}"
+            )(x, context)
+        x = x.reshape(b, h, w, c)
+        x = nn.Conv(
+            c, (1, 1), dtype=self.dtype,
+            kernel_init=zero_init(), bias_init=zero_init(), name="proj_out",
+        )(x)
+        return x + x_in
+
+
+class Downsample(nn.Module):
+    """Stride-2 3×3 conv (openai-UNet Downsample, conv_resample=True)."""
+
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(self.channels, (3, 3), strides=(2, 2), padding=1,
+                       dtype=self.dtype, name="conv")(x)
+
+
+class Upsample(nn.Module):
+    """Nearest 2× then 3×3 conv (openai-UNet Upsample)."""
+
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+
+
+class TimeEmbedding(nn.Module):
+    """Linear(model_ch→4·model_ch) → SiLU → Linear (openai-UNet time_embed)."""
+
+    model_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
+        emb = timestep_embedding(t, self.model_channels)
+        dim = self.model_channels * 4
+        emb = nn.Dense(dim, dtype=self.dtype, name="fc1")(emb.astype(self.dtype))
+        emb = nn.silu(emb)
+        return nn.Dense(dim, dtype=self.dtype, name="fc2")(emb)

@@ -1,0 +1,81 @@
+"""Train state + optimizer with the reference's trainable-parameter split.
+
+Capability parity: ``ControlLDM.configure_optimizers`` semantics as driven by the
+reference's flags — AdamW at lr 1e-5 on the ControlNet parameters only when
+``sd_locked`` (the production setting, /root/reference/runs/train.py:17,70-71);
+unlocking adds the UNet's output blocks and final conv. The VAE / CLIP / teacher are
+always frozen. t_min annealing state (AdjustTmin, makeup_diffuse.py:255-266) rides in
+the state so the train step stays pure.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import ModelConfig, TrainConfig
+
+
+def trainable_mask(params: Dict[str, Any], sd_locked: bool = True) -> Dict[str, Any]:
+    """Pytree of bools: True = optimized. ControlNet always; UNet output side when
+    not sd_locked (ControlLDM.configure_optimizers parity)."""
+
+    def mark(path: str) -> bool:
+        if path.startswith("control_model"):
+            return True
+        if not sd_locked and path.startswith("diffusion_model"):
+            tail = path.split("/", 1)[1] if "/" in path else ""
+            return tail.startswith("up_") or tail.startswith("out_norm") or tail.startswith("conv_out")
+        return False
+
+    flat = flax.traverse_util.flatten_dict(params, sep="/")
+    mask_flat = {k: mark(k) for k in flat}
+    return flax.traverse_util.unflatten_dict(mask_flat, sep="/")
+
+
+def make_optimizer(train_cfg: TrainConfig, params: Dict[str, Any]) -> optax.GradientTransformation:
+    mask = trainable_mask(params["params"] if "params" in params else params,
+                          sd_locked=train_cfg.sd_locked)
+    if "params" in params:
+        mask = {"params": mask}
+    return optax.multi_transform(
+        {
+            "train": optax.adamw(train_cfg.learning_rate),
+            "freeze": optax.set_to_zero(),
+        },
+        jax.tree_util.tree_map(lambda m: "train" if m else "freeze", mask),
+    )
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    t_min: jnp.ndarray  # traced — annealed by AdjustTmin without recompiling
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, params, train_cfg: TrainConfig, model_cfg: ModelConfig) -> "TrainState":
+        tx = make_optimizer(train_cfg, params)
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            t_min=jnp.asarray(model_cfg.t_min, jnp.int32),
+            tx=tx,
+        )
+
+    def apply_gradients(self, grads) -> "TrainState":
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt,
+        )
+
+    def adjust_t_min(self, delta_t: int, t_max: int) -> "TrainState":
+        """AdjustTmin.on_train_epoch_end parity: t_min += Δt, capped at t_max."""
+        return self.replace(t_min=jnp.minimum(self.t_min + delta_t, t_max))

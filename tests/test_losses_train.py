@@ -1,0 +1,160 @@
+"""Composite-loss and train-step tests on the tiny config, incl. an 8-device DP run."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from makeupdiffuse_tpu.config import tiny_test_config
+from makeupdiffuse_tpu.core.schedule import DiffusionSchedule
+from makeupdiffuse_tpu.losses import composite_loss, makeup_region_losses
+from makeupdiffuse_tpu.models.controlled_ldm import init_model
+from makeupdiffuse_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from makeupdiffuse_tpu.training.train_state import TrainState, trainable_mask
+from makeupdiffuse_tpu.training.train_step import make_train_step
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_test_config()
+    model, params = init_model(cfg.model, jax.random.PRNGKey(0))
+    sched = DiffusionSchedule.create(timesteps=cfg.model.timesteps)
+    return cfg, model, params, sched
+
+
+def _batch(cfg, b=2, seed=0):
+    m = cfg.model
+    ks = jax.random.split(jax.random.PRNGKey(seed), 8)
+    H = m.image_size
+    u = lambda k, *s: jax.random.uniform(k, s)
+    batch = dict(
+        src_img=u(ks[0], b, H, H, 3),
+        ref_img=u(ks[1], b, H, H, 3),
+        nonmakeup_img=u(ks[2], b, H, H, 3) * 2 - 1,
+        makeup_img=u(ks[3], b, H, H, 3) * 2 - 1,
+        nonmakeup_seg=jax.random.randint(ks[4], (b, H, H), 0, 14),
+        mask_s_full=(u(ks[5], b, H, H, 4) > 0.7).astype(jnp.float32),
+        pgt_sr=u(ks[6], b, H, H, 3) * 2 - 1,
+        makeup_pgt=u(ks[7], b, H, H, 3) * 2 - 1,
+        context=jax.random.normal(ks[0], (b, m.clip.max_length, m.unet.context_dim)),
+    )
+    return batch
+
+
+def test_composite_loss_terms(setup):
+    cfg, model, params, sched = setup
+    batch = _batch(cfg)
+    loss, ld = composite_loss(model, params, sched, cfg.model, batch,
+                              jax.random.PRNGKey(1), jnp.asarray(100))
+    expected_keys = {"loss_base", "loss_idt_src", "loss_idt_ref", "loss_cycle_content",
+                     "loss_cycle_makeup", "loss_background", "loss_makeup", "loss"}
+    assert expected_keys == set(ld)
+    assert np.isfinite(float(loss))
+    # weighted sum identity
+    m = cfg.model
+    total = (m.l_simple_weight * ld["loss_base"] + m.w_idt_src * ld["loss_idt_src"]
+             + m.w_idt_ref * ld["loss_idt_ref"] + m.w_cycle_content * ld["loss_cycle_content"]
+             + m.w_cycle_makeup * ld["loss_cycle_makeup"] + m.w_bkgrd * ld["loss_background"]
+             + m.w_makeup * ld["loss_makeup"])
+    np.testing.assert_allclose(float(loss), float(total), rtol=1e-6)
+
+
+def test_makeup_region_losses_golden():
+    b, h = 1, 8
+    sr = jnp.ones((b, h, h, 3)) * 0.5
+    pgt = jnp.zeros((b, h, h, 3))
+    mask = jnp.zeros((b, h, h, 4)).at[:, 0:2, 0:2, 0].set(1.0)  # lip only
+    got = makeup_region_losses(sr, pgt, mask, eye_margin=1,
+                               lambda_lip=2.0, lambda_eye=1.0, lambda_skin=1.0)
+    # L1 over ALL elements: 4 lip pixels × 3 ch × 0.5 / (8·8·3)
+    expect = 2.0 * (4 * 3 * 0.5) / (h * h * 3)
+    np.testing.assert_allclose(float(got), expect, rtol=1e-6)
+
+
+def test_trainable_mask_controlnet_only(setup):
+    cfg, model, params, sched = setup
+    mask = trainable_mask(params["params"], sd_locked=True)
+    import flax
+    flat = flax.traverse_util.flatten_dict(mask, sep="/")
+    on = {k for k, v in flat.items() if v}
+    assert all(k.startswith("control_model") for k in on)
+    assert any(k.startswith("control_model") for k in on)
+    # unlocked adds UNet decoder side
+    mask2 = trainable_mask(params["params"], sd_locked=False)
+    flat2 = flax.traverse_util.flatten_dict(mask2, sep="/")
+    on2 = {k for k, v in flat2.items() if v}
+    assert any(k.startswith("diffusion_model/up_") for k in on2)
+    assert not any(k.startswith("diffusion_model/down_") for k in on2)
+    assert not any(k.startswith("first_stage_model") for k in on2)
+
+
+def test_pristine_init_has_zero_grads(setup):
+    """At exact zero-init (UNet conv_out AND control zero-convs are zeros — SD
+    semantics) every trainable gradient vanishes; training always starts from
+    converted SD weights, like the reference (runs/train.py:59-68)."""
+    cfg, model, params, sched = setup
+    batch = _batch(cfg)
+
+    def loss_fn(p):
+        return composite_loss(model, p, sched, cfg.model, batch,
+                              jax.random.PRNGKey(1), jnp.asarray(100))[0]
+
+    grads = jax.grad(loss_fn)(params)
+    import flax
+    flat = flax.traverse_util.flatten_dict(grads["params"], sep="/")
+    ctrl = [v for k, v in flat.items() if k.startswith("control_model")]
+    assert all(float(jnp.abs(v).max()) == 0.0 for v in ctrl)
+
+
+def _trained_like(params):
+    """Perturb params so zero-init convs are active (as converted weights would be)."""
+    return jax.tree_util.tree_map(lambda p: p + 0.01, params)
+
+
+def test_train_step_updates_only_controlnet(setup):
+    cfg, model, params, sched = setup
+    params = _trained_like(params)
+    state = TrainState.create(params, cfg.train, cfg.model)
+    step = make_train_step(model, sched, cfg.model, donate=False)
+    batch = _batch(cfg)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    # ControlNet params moved, UNet/VAE/CLIP untouched
+    import flax
+    old = flax.traverse_util.flatten_dict(params["params"], sep="/")
+    new = flax.traverse_util.flatten_dict(new_state.params["params"], sep="/")
+    moved = {k for k in old if not np.allclose(old[k], new[k])}
+    assert moved, "no parameters moved"
+    assert all(k.startswith("control_model") for k in moved)
+    frozen_unet = [k for k in old if k.startswith("diffusion_model")]
+    assert all(np.allclose(old[k], new[k]) for k in frozen_unet)
+
+
+def test_adjust_t_min(setup):
+    cfg, model, params, sched = setup
+    state = TrainState.create(params, cfg.train, cfg.model)
+    assert int(state.t_min) == 100
+    state = state.adjust_t_min(delta_t=50, t_max=900)
+    assert int(state.t_min) == 150
+    for _ in range(20):
+        state = state.adjust_t_min(delta_t=50, t_max=900)
+    assert int(state.t_min) == 900  # capped
+
+
+def test_dp_sharded_train_step_matches_single(setup):
+    """8-device data-parallel step == single-device step (same math, psum'd grads)."""
+    cfg, model, params, sched = setup
+    batch = _batch(cfg, b=8, seed=3)
+
+    state = TrainState.create(params, cfg.train, cfg.model)
+    step = make_train_step(model, sched, cfg.model, donate=False)
+    _, metrics_single = step(state, batch, jax.random.PRNGKey(4))
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    state_r = replicate(mesh, state)
+    batch_s = shard_batch(mesh, batch)
+    _, metrics_dp = step(state_r, batch_s, jax.random.PRNGKey(4))
+    np.testing.assert_allclose(
+        float(metrics_dp["loss"]), float(metrics_single["loss"]), rtol=2e-4
+    )
