@@ -60,8 +60,11 @@ def main():
     pgt = jax.random.uniform(ks[4], (b, H, H, 3)) * 2 - 1
 
     @jax.jit
-    def pipeline(pgt, src, ref, ctx, uc, rng):
-        """VAE encode → diffuse → steps×CFG-cDDIM → VAE decode (north-star cfg 4/5)."""
+    def pipeline(params, pgt, src, ref, ctx, uc, rng):
+        """VAE encode → diffuse → steps×CFG-cDDIM → VAE decode (north-star cfg 4/5).
+
+        params is an ARGUMENT (closing over it would bake 5.7GB of constants into
+        the HLO and stall compilation)."""
         k_z, k_T = jax.random.split(rng)
         mean, logvar = model.apply(params, pgt, method=model.encode_moments)
         z = cfg.scale_factor * (
@@ -77,14 +80,14 @@ def main():
 
     # compile + warmup
     t0 = time.time()
-    out = pipeline(pgt, src, ref, ctx, uc, jax.random.PRNGKey(1))
+    out = pipeline(params, pgt, src, ref, ctx, uc, jax.random.PRNGKey(1))
     out.block_until_ready()
     compile_s = time.time() - t0
 
     times = []
     for i in range(args.repeats):
         t0 = time.time()
-        out = pipeline(pgt, src, ref, ctx, uc, jax.random.PRNGKey(2 + i))
+        out = pipeline(params, pgt, src, ref, ctx, uc, jax.random.PRNGKey(2 + i))
         out.block_until_ready()
         times.append(time.time() - t0)
     best = min(times)

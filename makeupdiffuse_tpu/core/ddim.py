@@ -37,9 +37,13 @@ Denoiser = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
 def make_ddim_timesteps(num_ddim_steps: int, num_ddpm_timesteps: int) -> np.ndarray:
-    """Uniform DDIM discretization: arange(0, T, T//S) + 1 (ldm semantics)."""
+    """Uniform DDIM discretization: arange(0, T, T//S) + 1 (ldm semantics).
+
+    Clipped to T−1: for step counts that don't divide T, ldm's +1 lands on T and
+    would index out of range — a latent bug there, guarded here."""
     c = num_ddpm_timesteps // num_ddim_steps
-    return np.asarray(list(range(0, num_ddpm_timesteps, c))) + 1
+    ts = np.asarray(list(range(0, num_ddpm_timesteps, c))) + 1
+    return np.minimum(ts, num_ddpm_timesteps - 1)
 
 
 @jax.tree_util.register_pytree_node_class

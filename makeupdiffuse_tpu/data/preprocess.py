@@ -1,0 +1,118 @@
+"""Host-side face preprocessing — PreProcess parity, minus torch.
+
+Capability parity: /root/reference/diffdata/preprocessing.py:16-181:
+  * load_mask: grayscale PIL → nearest-resize to img_size (:81-85)
+  * mask_process → 4-channel [lip, face(+brows), eye_l, eye_r] (:55-73) — device-side
+    version lives in ops/masks.py; this module provides the numpy twin for loaders
+  * landmark cache load/save as .npy (:122-128) + the lip de-duplication fix (:98-106)
+  * diff_process: positional field meshgrid − lms, (h, w, 136) here (NHWC) (:109-120)
+  * full detect→crop→parse path (:131-169) gated on the optional dlib/BiSeNet stage
+    (data/faceparse.py); the reference caches landmarks offline exactly so the device
+    pipeline never sees dynamic shapes — we keep that pattern.
+
+Everything returns numpy; DataLoader workers stay off the TPU.
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+# BiSeNet face-parse palette used by the reference masks
+# (preprocessing.py:53-54): 0 bg, 1 face, 2/3 brows, 4/5 eyes, 6 nose, 7 u-lip,
+# 8 teeth, 9 l-lip, 10 hair, 11/12 ears, 13 neck
+LIP_CLASS = (7, 9)
+FACE_CLASS = (1, 6)
+EYEBROW_CLASS = (2, 3)
+EYE_CLASS = (4, 5)
+
+
+def load_image(path: str, img_size: int = 256) -> np.ndarray:
+    """RGB image → [img_size², 3] float32 in [-1, 1] (transforms.Compose parity:
+    Resize + ToTensor + Normalize(0.5, 0.5), preprocessing.py:47-50)."""
+    img = Image.open(path).convert("RGB").resize((img_size, img_size), Image.BILINEAR)
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    return arr * 2.0 - 1.0
+
+
+def load_mask(path: str, img_size: int = 256) -> np.ndarray:
+    """Grayscale label map → [img_size²] int32 via NEAREST (load_mask :81-85)."""
+    m = Image.open(path).convert("L").resize((img_size, img_size), Image.NEAREST)
+    return np.asarray(m, dtype=np.int32)
+
+
+def load_seg(path: str, img_size: int = 256) -> np.ndarray:
+    """scgan_segs label map (reference resizes with INTER_AREA, datasets.py:629-631;
+    we use NEAREST, which preserves label identity)."""
+    return load_mask(path, img_size)
+
+
+def mask_channels(mask: np.ndarray) -> np.ndarray:
+    """4-channel [lip, face(+brows), eye_l, eye_r], numpy twin of
+    ops.masks.preprocess_mask_channels. mask [H,W] → [H,W,4] float32."""
+    def sel(classes):
+        out = np.zeros(mask.shape, np.float32)
+        for c in classes:
+            out += (mask == c)
+        return np.clip(out, 0, 1)
+
+    lip = sel(LIP_CLASS)
+    face = sel(FACE_CLASS + EYEBROW_CLASS)
+    return np.stack([lip, face, sel((EYE_CLASS[0],)), sel((EYE_CLASS[1],))], axis=-1)
+
+
+def fix_lip_landmarks(lms: np.ndarray) -> np.ndarray:
+    """Distinguish coincident upper/lower-lip points (preprocessing.py:98-106)."""
+    lms = lms.copy()
+    lms[61:64, 0] -= 1
+    lms[65:68, 0] += 1
+    for i in range(3):
+        if np.abs(lms[61 + i] - lms[67 - i]).sum() == 0:
+            lms[61 + i, 0] -= 1
+            lms[67 - i, 0] += 1
+    return lms
+
+
+def load_lms(path: str) -> np.ndarray:
+    return np.load(path).astype(np.int32)
+
+
+def save_lms(lms: np.ndarray, path: str) -> None:
+    np.save(path, lms)
+
+
+def diff_field(lms: np.ndarray, img_size: int = 256) -> np.ndarray:
+    """Landmark-relative positional field: fix − lms, [H, W, 2K] float32 (NHWC twin
+    of diff_process :109-120, where fix stacks [ys, xs] per landmark)."""
+    k = lms.shape[0]
+    ys, xs = np.meshgrid(
+        np.linspace(0, img_size - 1, img_size),
+        np.linspace(0, img_size - 1, img_size),
+        indexing="ij",
+    )
+    # reference layout: first K channels ys−lms_y? fix = concat([ys-grid repeated K],
+    # [xs-grid repeated K]) minus lms reshaped (136,1,1): channels 0..K-1 are
+    # ys − lms[:,0], channels K..2K-1 are xs − lms[:,1]
+    fix = np.concatenate(
+        [np.repeat(ys[None], k, 0), np.repeat(xs[None], k, 0)], axis=0
+    ).astype(np.float32)
+    lms_flat = lms.T.reshape(-1, 1, 1).astype(np.float32)  # (2K,1,1): [ys..., xs...]
+    diff = fix - lms_flat
+    return np.moveaxis(diff, 0, -1)  # (H, W, 2K)
+
+
+def process(
+    image_path: str,
+    mask_path: str,
+    lms_path: str,
+    img_size: int = 256,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """The reference's PreProcess.process on cached artifacts
+    (load_from_file, datasets.py:607-612): → (image [-1,1], mask_full [H,W,4],
+    diff [H,W,136], lms [68,2])."""
+    image = load_image(image_path, img_size)
+    mask = load_mask(mask_path, img_size)
+    lms = load_lms(lms_path)
+    return image, mask_channels(mask), diff_field(lms, img_size), lms

@@ -1,0 +1,122 @@
+"""The training loop — trainer.fit parity, framework-native.
+
+Capability parity (/root/reference/runs/train.py + Lightning internals the reference
+relies on): epoch loop over the pair dataset, per-step composite loss, checkpoint
+every 200 steps, image grids every 200 steps, per-epoch AdjustTmin (+Δt capped at
+t_max, makeup_diffuse.py:262-266) and PGT alpha annealing (teacher.py:96-112).
+
+TPU-first: the step is one jitted program; batches are host-prefetched and sharded
+over the data mesh axis; the teacher (histogram PGT) runs inside jit.
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..core.schedule import DiffusionSchedule
+from ..models.controlled_ldm import ControlledLDM
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..teacher.pgt import PGTTeacher, compose_pgt
+from .checkpoint import CheckpointManager
+from .logging import ImageLogger, MetricsLogger
+from .train_state import TrainState
+from .train_step import make_train_step
+
+
+def prepare_model_batch(batch: Dict[str, np.ndarray], context: jnp.ndarray,
+                        pgt_alphas: jnp.ndarray, teacher_type: str = "ELEGANT_PGT"
+                        ) -> Dict[str, jnp.ndarray]:
+    """Host batch + teacher targets → composite-loss batch.
+
+    For ELEGANT_PGT the teacher target IS the PGT (diffusion_makeup.py:69-77), so
+    pgt_sr == makeup_pgt; for KEEP the target is the source and the PGT side channel
+    is still the histogram compose (:78-93)."""
+    image_s = jnp.asarray(batch["nonmakeup_img"])
+    image_r = jnp.asarray(batch["makeup_img"])
+    mask_s = jnp.asarray(batch["mask_s_full"])
+    mask_r = jnp.asarray(batch["mask_r_full"])
+    makeup_pgt = compose_pgt(image_s, image_r, mask_s, mask_r, pgt_alphas)
+    if teacher_type == "KEEP":
+        pgt_sr = image_s
+    else:  # ELEGANT_PGT default
+        pgt_sr = makeup_pgt
+    return dict(
+        src_img=jnp.asarray(batch["src_img"]),
+        ref_img=jnp.asarray(batch["ref_img"]),
+        nonmakeup_img=image_s,
+        makeup_img=image_r,
+        nonmakeup_seg=jnp.asarray(batch["nonmakeup_seg"]),
+        mask_s_full=mask_s,
+        pgt_sr=pgt_sr,
+        makeup_pgt=makeup_pgt,
+        context=context,
+    )
+
+
+def fit(
+    cfg: Config,
+    model: ControlledLDM,
+    state: TrainState,
+    data: Callable[[int], Iterator[Dict[str, np.ndarray]]],
+    context_fn: Callable[[int], jnp.ndarray],
+    log_dir: Optional[str] = None,
+    mesh="auto",
+    num_epochs: Optional[int] = None,
+    steps_per_epoch: Optional[int] = None,
+    on_epoch_end: Optional[Callable[[int, TrainState], None]] = None,
+) -> TrainState:
+    """Run the fit loop. `data(epoch)` yields host batches; `context_fn(b)` returns
+    the CLIP context for a batch of size b (fixed-prompt bank in production)."""
+    m = cfg.model
+    sched = DiffusionSchedule.create(
+        timesteps=m.timesteps, linear_start=m.linear_start, linear_end=m.linear_end,
+        parameterization=m.parameterization,
+    )
+    step_fn = make_train_step(model, sched, m, donate=True)
+    teacher = PGTTeacher()
+    log_dir = log_dir or cfg.train.log_dir
+    metrics_log = MetricsLogger(log_dir)
+    image_log = ImageLogger(log_dir, every_steps=cfg.train.logger_freq)
+    ckpt = CheckpointManager(
+        f"{log_dir}/checkpoints", every_steps=cfg.train.ckpt_every_steps
+    )
+    if mesh == "auto":
+        # DP over all devices when batch divides evenly; else single-device
+        mesh = make_mesh() if len(jax.devices()) > 1 and \
+            cfg.train.batch_size % len(jax.devices()) == 0 else None
+    if mesh is not None:
+        state = replicate(mesh, state)
+
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    num_epochs = num_epochs if num_epochs is not None else cfg.train.num_epochs
+
+    for epoch in range(num_epochs):
+        t_epoch = time.time()
+        for host_batch in data(epoch):
+            rng, step_key = jax.random.split(rng)
+            b = host_batch["src_img"].shape[0]
+            mb = prepare_model_batch(
+                host_batch, context_fn(b), teacher.alphas(), m.teacher_type
+            )
+            if mesh is not None:
+                mb = shard_batch(mesh, mb)
+            state, metrics = step_fn(state, mb, step_key)
+            step = int(state.step)
+            metrics_log.log(step, {k: float(v) for k, v in metrics.items()})
+            ckpt.maybe_save(state)
+        # epoch hooks: AdjustTmin (makeup_diffuse.py:262-266) + PGT alpha anneal
+        if m.is_adjust:
+            state = state.adjust_t_min(m.delta_t, m.t_max)
+        teacher.step()
+        metrics_log.log(int(state.step), {"epoch": epoch, "t_min": float(state.t_min),
+                                          "epoch_seconds": time.time() - t_epoch})
+        if on_epoch_end is not None:
+            on_epoch_end(epoch, state)
+    ckpt.maybe_save(state, force=True)
+    ckpt.wait()
+    return state

@@ -1,0 +1,122 @@
+"""End-to-end smoke: tiny model, synthetic data → fit() 2 epochs with checkpointing
+and image logs → restore → inference artifacts (the Fill50k-style sanity pattern,
+SURVEY.md §4)."""
+import glob
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from makeupdiffuse_tpu.api import transfer, transfer_artifacts
+from makeupdiffuse_tpu.config import tiny_test_config
+from makeupdiffuse_tpu.core.ddim import DDIMTables
+from makeupdiffuse_tpu.core.schedule import DiffusionSchedule
+from makeupdiffuse_tpu.data.synthetic import synthetic_face_batch
+from makeupdiffuse_tpu.models.controlled_ldm import init_model
+from makeupdiffuse_tpu.training.checkpoint import CheckpointManager
+from makeupdiffuse_tpu.training.loop import fit, prepare_model_batch
+from makeupdiffuse_tpu.training.train_state import TrainState
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_test_config()
+    model, params = init_model(cfg.model, jax.random.PRNGKey(0))
+    return cfg, model, params
+
+
+def test_fit_checkpoints_and_metrics(setup, tmp_path):
+    cfg, model, params = setup
+    m = cfg.model
+    import dataclasses
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, ckpt_every_steps=2, logger_freq=0)
+    )
+    # copy: fit()'s donated train step would delete the shared fixture's buffers
+    params = jax.tree_util.tree_map(lambda x: x.copy(), params)
+    state = TrainState.create(params, cfg.train, m)
+
+    def data(epoch):
+        for i in range(2):
+            yield synthetic_face_batch(2, m.image_size, m.unet.context_dim,
+                                       m.clip.max_length, seed=epoch * 10 + i)
+
+    ctx_fn = lambda b: jnp.zeros((b, m.clip.max_length, m.unet.context_dim))
+    out = fit(cfg, model, state, data, ctx_fn, log_dir=str(tmp_path), num_epochs=2,
+              mesh=None)
+    assert int(out.step) == 4
+    # AdjustTmin ran twice: 100 + 2·50
+    assert int(out.t_min) == 200
+    # metrics jsonl exists with per-loss keys
+    recs = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    step_recs = [r for r in recs if "loss_base" in r]
+    assert len(step_recs) == 4
+    assert {"loss_base", "loss_idt_src", "loss_makeup", "grad_norm"} <= set(step_recs[0])
+    # checkpoints saved and restorable
+    ck = CheckpointManager(str(tmp_path / "checkpoints"))
+    assert ck.latest_step() == 4
+    fresh = TrainState.create(params, cfg.train, m)
+    restored = ck.restore(fresh)
+    assert int(restored.step) == 4
+    # the step-4 checkpoint was written during epoch 1 (t_min=150); orbax keeps the
+    # first write for a step, and the final epoch's t_min=200 lives in `out` only
+    assert int(restored.t_min) == 150
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(out.params)[0]),
+    )
+
+
+def test_prepare_model_batch_teachers(setup):
+    cfg, model, params = setup
+    m = cfg.model
+    hb = synthetic_face_batch(2, m.image_size, m.unet.context_dim, m.clip.max_length)
+    ctx = jnp.zeros((2, m.clip.max_length, m.unet.context_dim))
+    alphas = jnp.asarray([0.1, 0.5, 0.3])
+    mb = prepare_model_batch(hb, ctx, alphas, teacher_type="ELEGANT_PGT")
+    np.testing.assert_array_equal(np.asarray(mb["pgt_sr"]), np.asarray(mb["makeup_pgt"]))
+    mb2 = prepare_model_batch(hb, ctx, alphas, teacher_type="KEEP")
+    np.testing.assert_array_equal(np.asarray(mb2["pgt_sr"]), hb["nonmakeup_img"])
+    assert not np.allclose(np.asarray(mb2["makeup_pgt"]), hb["nonmakeup_img"])
+
+
+def test_transfer_artifacts_full_set(setup):
+    cfg, model, params = setup
+    m = cfg.model
+    sched = DiffusionSchedule.create(timesteps=m.timesteps)
+    tables = DDIMTables.create(sched, num_steps=4)
+    b, H = 1, m.image_size
+    ks = jax.random.split(jax.random.PRNGKey(5), 4)
+    pgt = jax.random.uniform(ks[0], (b, H, H, 3)) * 2 - 1
+    src = jax.random.uniform(ks[1], (b, H, H, 3))
+    ref = jax.random.uniform(ks[2], (b, H, H, 3))
+    ctx = jax.random.normal(ks[3], (b, m.clip.max_length, m.unet.context_dim))
+    uc = jnp.zeros_like(ctx)
+    arts = transfer_artifacts(model, params, sched, tables, pgt, src, ref, ctx, uc,
+                              jax.random.PRNGKey(0), t_min=100, cfg_scale=9.0)
+    expect = {"reconstruction", "control_src", "control_ref", "ground_truth",
+              "sample_ddmp", "samples", "samples_cfg_scale_9.00"}
+    assert expect == set(arts)
+    for k, v in arts.items():
+        assert v.shape == (b, H, H, 3), k
+        assert float(jnp.abs(v).max()) <= 1.0, k
+    np.testing.assert_allclose(np.asarray(arts["control_src"]), np.asarray(src * 2 - 1),
+                               atol=1e-5)
+
+
+def test_transfer_minimal_api(setup):
+    cfg, model, params = setup
+    m = cfg.model
+    sched = DiffusionSchedule.create(timesteps=m.timesteps)
+    tables = DDIMTables.create(sched, num_steps=3)
+    b, H = 2, m.image_size
+    src = jax.random.uniform(jax.random.PRNGKey(1), (b, H, H, 3))
+    ref = jax.random.uniform(jax.random.PRNGKey(2), (b, H, H, 3))
+    ctx = jax.random.normal(jax.random.PRNGKey(3), (b, m.clip.max_length, m.unet.context_dim))
+    out = transfer(model, params, sched, tables, src, ref, ctx, jnp.zeros_like(ctx),
+                   jax.random.PRNGKey(4), cfg_scale=9.0)
+    assert out.shape == (b, H, H, 3)
+    assert bool(jnp.isfinite(out).all())
