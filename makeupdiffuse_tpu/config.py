@@ -110,6 +110,8 @@ class ModelConfig:
     scale_factor: float = 0.18215
     parameterization: str = "eps"
     only_mid_control: bool = False
+    # hint ablations (SURVEY §2 row 10): double | single_ref | single_src | none
+    hint_mode: str = "double"
     l_simple_weight: float = 1.0
     original_elbo_weight: float = 0.0
     # sub-model configs (yaml:52-116)

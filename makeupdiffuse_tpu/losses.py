@@ -78,6 +78,57 @@ def makeup_region_losses(
     return lambda_lip * l1(lip) + lambda_eye * l1(eye) + lambda_skin * l1(skin)
 
 
+def simple_diffusion_loss(
+    model: ControlledLDM,
+    params,
+    sched: DiffusionSchedule,
+    cfg: ModelConfig,
+    target: jnp.ndarray,  # [B,H,W,3] in [-1,1] — gt image to diffuse
+    hint: Optional[jnp.ndarray],  # [B,H,W,6] in [0,1] or None
+    context: jnp.ndarray,
+    rng: jax.Array,
+    t_min: jnp.ndarray = 0,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """BaseModel.p_losses parity (makeup_teacher.py:64-98): one eps pass with
+    logvar + lvlb weighting. This is the whole loss of the FFHQ reconstruction
+    finetune (FinetuneModelFFHQ + FFHQ256: target = real image, hint = src‖zeros,
+    makeup_ffhq_finetune.py:17-20, finetune_datasets.py:51-58) and of the
+    Teacher_IDT curriculum models."""
+    B = target.shape[0]
+    k1, k2, k3 = jax.random.split(rng, 3)
+    mean, logvar = model.apply(params, target, method=model.encode_moments)
+    z = jax.lax.stop_gradient(
+        cfg.scale_factor * (mean + jnp.exp(0.5 * logvar) * jax.random.normal(k1, mean.shape))
+    )
+    t = jax.random.randint(k2, (B,), t_min, sched.num_timesteps)
+    noise = jax.random.normal(k3, z.shape)
+    x_noisy = sched.q_sample(z, t, noise)
+    eps = model.apply(params, x_noisy, t, context, hint, method=model.apply_eps)
+    per = _eps_loss(sched, eps, noise, t)
+    loss_simple = per.mean()
+    loss = cfg.l_simple_weight * loss_simple
+    loss_vlb = (sched.lvlb_weights[t] * jnp.mean((eps - noise) ** 2, axis=(1, 2, 3))).mean()
+    loss = loss + cfg.original_elbo_weight * loss_vlb
+    return loss, {"loss_simple": loss_simple, "loss_vlb": loss_vlb, "loss": loss}
+
+
+def build_hint(src: jnp.ndarray, ref: jnp.ndarray, hint_mode: str) -> Optional[jnp.ndarray]:
+    """Ablation hint variants (SURVEY §2 row 10):
+    'double' = src‖ref (BaseDoubleControlModel), 'single_ref' = ref only
+    (BaseSingleControlModel, diffusion_makeup.py:116), 'single_src' = src only
+    (SingleControlModel configurable side, :440-529), 'none' = ControlNet disabled
+    (NoControlModel c_concat=None, :414-437)."""
+    if hint_mode == "double":
+        return jnp.concatenate([src, ref], axis=-1)
+    if hint_mode == "single_ref":
+        return ref
+    if hint_mode == "single_src":
+        return src
+    if hint_mode == "none":
+        return None
+    raise ValueError(f"unknown hint_mode {hint_mode!r}")
+
+
 def composite_loss(
     model: ControlledLDM,
     params,
@@ -126,11 +177,12 @@ def composite_loss(
     t_base = jax.random.randint(keys[3], (B,), t_min, T)
     t_ids = jax.random.randint(keys[4], (2 * B,), 0, T)
     t_a = jnp.concatenate([t_base, t_ids])
-    hint_a = jnp.concatenate([
-        jnp.concatenate([src, ref], -1),
-        jnp.concatenate([src, src], -1),
-        jnp.concatenate([ref, ref], -1),
-    ])
+    hints_a = [
+        build_hint(src, ref, cfg.hint_mode),
+        build_hint(src, src, cfg.hint_mode),
+        build_hint(ref, ref, cfg.hint_mode),
+    ]
+    hint_a = None if hints_a[0] is None else jnp.concatenate(hints_a)
     noise_a = jax.random.normal(keys[5], z_a.shape)
     x_a = sched.q_sample(z_a, t_a, noise_a)
     eps_a = model.apply(params, x_a, t_a, jnp.tile(ctx, (3, 1, 1)), hint_a,
@@ -151,10 +203,11 @@ def composite_loss(
         _posterior_z(m_mk, lv_mk, keys[7], sf),
     ])
     t_b = jax.random.randint(keys[8], (2 * B,), 0, T)
-    hint_b = jnp.concatenate([
-        jnp.concatenate([fake_sr, src], -1),
-        jnp.concatenate([ref, fake_sr], -1),
-    ])
+    hints_b = [
+        build_hint(fake_sr, src, cfg.hint_mode),
+        build_hint(ref, fake_sr, cfg.hint_mode),
+    ]
+    hint_b = None if hints_b[0] is None else jnp.concatenate(hints_b)
     noise_b = jax.random.normal(keys[9], z_b.shape)
     x_b = sched.q_sample(z_b, t_b, noise_b)
     eps_b = model.apply(params, x_b, t_b, jnp.tile(ctx, (2, 1, 1)), hint_b,

@@ -108,6 +108,14 @@ def fit(
             state, metrics = step_fn(state, mb, step_key)
             step = int(state.step)
             metrics_log.log(step, {k: float(v) for k, v in metrics.items()})
+            if image_log.should_log(step):
+                # light-weight per-step grids (control hints, teacher target); the
+                # full sampled artifact set comes from scripts/test.py / api
+                image_log.log_images(step, {
+                    "control_src": np.asarray(mb["src_img"]) * 2 - 1,
+                    "control_ref": np.asarray(mb["ref_img"]) * 2 - 1,
+                    "ground_truth": np.asarray(mb["pgt_sr"]),
+                })
             ckpt.maybe_save(state)
         # epoch hooks: AdjustTmin (makeup_diffuse.py:262-266) + PGT alpha anneal
         if m.is_adjust:
