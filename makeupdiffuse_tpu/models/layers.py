@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import mha_attention
+from ..ops import pallas_attention
 
 Dtype = Any
 
@@ -118,7 +119,8 @@ class CrossAttention(nn.Module):
         q = q.reshape(b, nq, self.heads, self.dim_head)
         k = k.reshape(b, nk, self.heads, self.dim_head)
         v = v.reshape(b, nk, self.heads, self.dim_head)
-        out = mha_attention(q, k, v).reshape(b, nq, inner)
+        # dispatches to the Pallas flash kernel when FLASH_DEFAULT is on (TPU)
+        out = pallas_attention.attention(q, k, v).reshape(b, nq, inner)
         return nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(out)
 
 
