@@ -31,16 +31,22 @@ EYE_CLASS = (4, 5)
 
 def load_image(path: str, img_size: int = 256) -> np.ndarray:
     """RGB image → [img_size², 3] float32 in [-1, 1] (transforms.Compose parity:
-    Resize + ToTensor + Normalize(0.5, 0.5), preprocessing.py:47-50)."""
-    img = Image.open(path).convert("RGB").resize((img_size, img_size), Image.BILINEAR)
-    arr = np.asarray(img, dtype=np.float32) / 255.0
-    return arr * 2.0 - 1.0
+    Resize + ToTensor + Normalize(0.5, 0.5), preprocessing.py:47-50).
+
+    Resize+normalize runs in the native host library when built
+    (native/mdt_host.cc), PIL otherwise."""
+    from ..utils import native
+
+    img = np.asarray(Image.open(path).convert("RGB"), np.uint8)
+    return native.resize_normalize(img, img_size)
 
 
 def load_mask(path: str, img_size: int = 256) -> np.ndarray:
     """Grayscale label map → [img_size²] int32 via NEAREST (load_mask :81-85)."""
-    m = Image.open(path).convert("L").resize((img_size, img_size), Image.NEAREST)
-    return np.asarray(m, dtype=np.int32)
+    from ..utils import native
+
+    m = np.asarray(Image.open(path).convert("L"), np.uint8)
+    return native.resize_labels(m, img_size)
 
 
 def load_seg(path: str, img_size: int = 256) -> np.ndarray:

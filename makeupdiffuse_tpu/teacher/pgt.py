@@ -91,6 +91,26 @@ def compose_pgt(
     return jax.vmap(fn)(image_s, image_r, mask_s_full, mask_r_full)
 
 
+def generate_pseudo_gt_pair(
+    image_s: jnp.ndarray,
+    image_r: jnp.ndarray,
+    mask_s_full: jnp.ndarray,
+    mask_r_full: jnp.ndarray,
+    alphas: jnp.ndarray,
+    eye_margin: int = 12,
+    lip_margin: int = 4,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(PGT_SR, PGT_RS) pair — the PseudoModel.generate_pseudo_GT capability
+    (/root/reference/auxiliary/pseudos.py:30-41, consumed inside dataset workers at
+    datasets.py:175,215-218). Here it is one jitted symmetric call instead of a CUDA
+    model inside DataLoader processes."""
+    sr = compose_pgt(image_s, image_r, mask_s_full, mask_r_full, alphas,
+                     eye_margin, lip_margin)
+    rs = compose_pgt(image_r, image_s, mask_r_full, mask_s_full, alphas,
+                     eye_margin, lip_margin)
+    return sr, rs
+
+
 class PGTTeacher:
     """Stateful wrapper carrying the annealing epoch (mirrors AnnealingComposePGT)."""
 

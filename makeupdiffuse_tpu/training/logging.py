@@ -58,6 +58,24 @@ def make_grid(images: np.ndarray, nrow: int = 4, pad: int = 2) -> np.ndarray:
     return grid
 
 
+def log_txt_as_img(shape, texts, size: int = 16) -> np.ndarray:
+    """Render prompts onto image tiles — ldm's log_txt_as_img capability (the
+    'conditioning' artifact, diffusion_makeup.py:427). Returns [N,H,W,3] in [-1,1]."""
+    from PIL import ImageDraw
+
+    h, w = shape
+    out = []
+    for text in texts:
+        img = Image.new("RGB", (w, h), "white")
+        draw = ImageDraw.Draw(img)
+        # wrap to ~w/(size/2) chars per line
+        n = max(int(w / (size * 0.6)), 8)
+        lines = "\n".join(text[i:i + n] for i in range(0, len(text), n))
+        draw.text((4, 4), lines, fill="black")
+        out.append(np.asarray(img, np.float32) / 127.5 - 1.0)
+    return np.stack(out)
+
+
 class ImageLogger:
     """Dump artifact grids every `every_steps` train steps (MakeupImageLogger
     parity: batch_frequency=200, runs/train.py:19,49)."""

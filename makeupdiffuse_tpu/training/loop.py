@@ -24,6 +24,7 @@ from ..parallel.mesh import make_mesh, replicate, shard_batch
 from ..teacher.pgt import PGTTeacher, compose_pgt
 from .checkpoint import CheckpointManager
 from .logging import ImageLogger, MetricsLogger
+from .profiling import StepTimer
 from .train_state import TrainState
 from .train_step import make_train_step
 
@@ -94,6 +95,7 @@ def fit(
 
     rng = jax.random.PRNGKey(cfg.train.seed)
     num_epochs = num_epochs if num_epochs is not None else cfg.train.num_epochs
+    timer = StepTimer()
 
     for epoch in range(num_epochs):
         t_epoch = time.time()
@@ -105,9 +107,13 @@ def fit(
             )
             if mesh is not None:
                 mb = shard_batch(mesh, mb)
+            timer.start()
             state, metrics = step_fn(state, mb, step_key)
+            metrics = {k: float(v) for k, v in metrics.items()}
+            timer.stop()
             step = int(state.step)
-            metrics_log.log(step, {k: float(v) for k, v in metrics.items()})
+            metrics.update(timer.scalars())
+            metrics_log.log(step, metrics)
             if image_log.should_log(step):
                 # light-weight per-step grids (control hints, teacher target); the
                 # full sampled artifact set comes from scripts/test.py / api
