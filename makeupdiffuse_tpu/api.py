@@ -88,6 +88,41 @@ def transfer_artifacts(
     return {k: jnp.clip(v, -1.0, 1.0) for k, v in out.items()}
 
 
+def interpolate_transfer(
+    model: ControlledLDM,
+    params,
+    sched: DiffusionSchedule,
+    tables: DDIMTables,
+    src_img: jnp.ndarray,  # [1,H,W,3] in [0,1]
+    ref_a: jnp.ndarray,  # [1,H,W,3] makeup A
+    ref_b: jnp.ndarray,  # [1,H,W,3] makeup B
+    context: jnp.ndarray,  # [1,77,ctx]
+    uncond_context: Optional[jnp.ndarray],
+    rng: jax.Array,
+    num_steps: int = 8,
+    cfg_scale: float = 9.0,
+) -> jnp.ndarray:
+    """Makeup interpolation sweep (reference README fig 04 / BASELINE config 5):
+    sample the transfer for a λ-sweep of reference-makeup hints
+    hint_ref(λ) = (1−λ)·ref_a + λ·ref_b, batched into ONE sampler run with a
+    shared x_T so only the makeup varies along the row."""
+    lam = jnp.linspace(0.0, 1.0, num_steps).reshape(-1, 1, 1, 1)
+    refs = (1.0 - lam) * ref_a + lam * ref_b  # [S,H,W,3]
+    srcs = jnp.tile(src_img, (num_steps, 1, 1, 1))
+    ctx = jnp.tile(context, (num_steps, 1, 1))
+    uc = None if uncond_context is None else jnp.tile(uncond_context, (num_steps, 1, 1))
+    cfg = model.cfg
+    h = cfg.latent_size
+    # shared starting noise across the sweep → only the hint varies
+    x_T1 = jax.random.normal(rng, (1, h, h, cfg.latent_channels))
+    x_T = jnp.tile(x_T1, (num_steps, 1, 1, 1))
+    hint = jnp.concatenate([srcs, refs], axis=-1)
+    den = make_denoiser(model, params, ctx, hint, uncond_context=uc, cfg_scale=cfg_scale)
+    z = ddim_sample(den, x_T, tables)
+    img = model.apply(params, z, method=model.decode_latent)
+    return jnp.clip(img, -1.0, 1.0)
+
+
 def transfer(
     model: ControlledLDM,
     params,

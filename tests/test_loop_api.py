@@ -120,3 +120,21 @@ def test_transfer_minimal_api(setup):
                    jax.random.PRNGKey(4), cfg_scale=9.0)
     assert out.shape == (b, H, H, 3)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_interpolate_transfer(setup):
+    from makeupdiffuse_tpu.api import interpolate_transfer
+    cfg, model, params = setup
+    m = cfg.model
+    sched = DiffusionSchedule.create(timesteps=m.timesteps)
+    tables = DDIMTables.create(sched, num_steps=3)
+    H = m.image_size
+    src = jax.random.uniform(jax.random.PRNGKey(1), (1, H, H, 3))
+    ref_a = jax.random.uniform(jax.random.PRNGKey(2), (1, H, H, 3))
+    ref_b = jax.random.uniform(jax.random.PRNGKey(3), (1, H, H, 3))
+    ctx = jax.random.normal(jax.random.PRNGKey(4), (1, m.clip.max_length, m.unet.context_dim))
+    out = interpolate_transfer(model, params, sched, tables, src, ref_a, ref_b,
+                               ctx, jnp.zeros_like(ctx), jax.random.PRNGKey(5),
+                               num_steps=4, cfg_scale=9.0)
+    assert out.shape == (4, H, H, 3)
+    assert bool(jnp.isfinite(out).all())
