@@ -112,6 +112,46 @@ def simple_diffusion_loss(
     return loss, {"loss_simple": loss_simple, "loss_vlb": loss_vlb, "loss": loss}
 
 
+def curriculum_idt_loss(
+    model: ControlledLDM,
+    params,
+    sched: DiffusionSchedule,
+    cfg: ModelConfig,
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+    t_min: jnp.ndarray,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Teacher_IDT curriculum (makeup_teacher.py:197-239): per step draw
+    data_type ∈ {0: (src,ref)→teacher target, 1: (src,src)→source,
+    2: (ref,ref)→reference}; t ~ U[t_min, T). Branchless on TPU: the three
+    (gt, hint) candidates are built and one is selected by the draw —
+    `lax.switch`-free, fully batched."""
+    k_sel, k_loss = jax.random.split(rng)
+    src, ref = batch["src_img"], batch["ref_img"]
+    data_type = jax.random.randint(k_sel, (), 0, 3)
+    gt = jnp.select(
+        [data_type == 0, data_type == 1],
+        [batch["pgt_sr"], batch["nonmakeup_img"]],
+        batch["makeup_img"],
+    )
+    hint_pairs = [
+        build_hint(src, ref, cfg.hint_mode),
+        build_hint(src, src, cfg.hint_mode),
+        build_hint(ref, ref, cfg.hint_mode),
+    ]
+    if hint_pairs[0] is None:
+        hint = None
+    else:
+        hint = jnp.select([data_type == 0, data_type == 1],
+                          hint_pairs[:2], hint_pairs[2])
+    loss, ld = simple_diffusion_loss(
+        model, params, sched, cfg, gt, hint, batch["context"], k_loss, t_min=t_min
+    )
+    ld = dict(ld)
+    ld["data_type"] = data_type.astype(jnp.float32)
+    return loss, ld
+
+
 def build_hint(src: jnp.ndarray, ref: jnp.ndarray, hint_mode: str) -> Optional[jnp.ndarray]:
     """Ablation hint variants (SURVEY §2 row 10):
     'double' = src‖ref (BaseDoubleControlModel), 'single_ref' = ref only

@@ -176,3 +176,21 @@ def test_ffhq_folder_dataset(tmp_path):
     np.testing.assert_allclose(it["src_img"], (it["jpg"] + 1) / 2, atol=1e-6)
     batch = ffhq_finetune_batch([ds[0], ds[1]])
     assert batch["target"].shape == (2, 32, 32, 3)
+
+
+def test_curriculum_idt_loss(setup):
+    """Teacher_IDT parity: the 3-way draw selects matching (gt, hint) pairs."""
+    from makeupdiffuse_tpu.losses import curriculum_idt_loss
+    from makeupdiffuse_tpu.data.synthetic import synthetic_face_batch
+    cfg, model, params = setup
+    m = cfg.model
+    sched = DiffusionSchedule.create(timesteps=m.timesteps)
+    hb = synthetic_face_batch(2, m.image_size, m.unet.context_dim, m.clip.max_length)
+    batch = {k: jnp.asarray(v) for k, v in hb.items()}
+    seen = set()
+    for i in range(8):
+        loss, ld = curriculum_idt_loss(model, params, sched, m, batch,
+                                       jax.random.PRNGKey(i), jnp.asarray(100))
+        assert np.isfinite(float(loss))
+        seen.add(int(ld["data_type"]))
+    assert seen == {0, 1, 2}  # all three curriculum branches drawn
