@@ -70,10 +70,14 @@ def main():
     )
     os.makedirs(log_dir, exist_ok=True)
 
-    if args.resume:
-        ckpt = CheckpointManager(args.resume)
-        state = ckpt.restore(state)
-        print(f"resumed from step {int(state.step)}")
+    # failure recovery: explicit --resume, or automatic pickup of this run's
+    # latest checkpoint (restart-after-crash without flags)
+    resume_dir = args.resume or os.path.join(log_dir, "checkpoints")
+    if os.path.isdir(resume_dir):
+        ckpt = CheckpointManager(resume_dir)
+        if ckpt.latest_step() is not None:
+            state = ckpt.restore(state)
+            print(f"resumed from step {int(state.step)} (t_min={int(state.t_min)})")
 
     # context: fixed-prompt bank ("makeup transfer", datasets.py:633)
     bank = precompute_prompt_bank(
