@@ -30,10 +30,13 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--cfg-scale", type=float, default=9.0)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--sampler", default="ddim", choices=["ddim", "dpmpp"],
+                    help="ddim = 50-step parity metric; dpmpp = DPM-Solver++(2M) fast path")
     args = ap.parse_args()
 
     from makeupdiffuse_tpu.config import ModelConfig
     from makeupdiffuse_tpu.core.ddim import DDIMTables, ddim_sample
+    from makeupdiffuse_tpu.core.dpm_solver import DPMTables, dpmpp_2m_sample
     from makeupdiffuse_tpu.core.schedule import DiffusionSchedule
     from makeupdiffuse_tpu.models.controlled_ldm import fast_init_model, make_denoiser
     from makeupdiffuse_tpu.ops import pallas_attention
@@ -50,7 +53,12 @@ def main():
     model, params = fast_init_model(cfg)
     params = jax.device_put(params, jax.devices()[0])
     sched = DiffusionSchedule.create(timesteps=cfg.timesteps)
-    tables = DDIMTables.create(sched, num_steps=args.steps, eta=0.0)
+    if args.sampler == "dpmpp":
+        tables = DPMTables.create(sched, num_steps=args.steps)
+        sample_fn = dpmpp_2m_sample
+    else:
+        tables = DDIMTables.create(sched, num_steps=args.steps, eta=0.0)
+        sample_fn = ddim_sample
 
     b = args.batch
     H = cfg.image_size
@@ -78,7 +86,7 @@ def main():
         den = make_denoiser(model, params, ctx, hint, uncond_context=uc,
                             cfg_scale=args.cfg_scale)
         x_T = jax.random.normal(k_T, z.shape)
-        z_out = ddim_sample(den, x_T, tables)
+        z_out = sample_fn(den, x_T, tables)
         img = model.apply(params, z_out, method=model.decode_latent)
         return jnp.clip(img, -1.0, 1.0)
 
@@ -98,7 +106,9 @@ def main():
     imgs_per_sec = b / best
 
     result = {
-        "metric": f"images/sec/chip, {H}x{H} {args.steps}-step cDDIM CFG{args.cfg_scale:g}, batch {b}, bf16",
+        "metric": f"images/sec/chip, {H}x{H} {args.steps}-step "
+                  f"{'DPM++2M' if args.sampler == 'dpmpp' else 'cDDIM'} "
+                  f"CFG{args.cfg_scale:g}, batch {b}, bf16",
         "value": round(imgs_per_sec, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / 4.0, 4),

@@ -147,6 +147,11 @@ def transfer(
     )
     h = cfg.latent_size
     x_T = jax.random.normal(rng, (b, h, h, cfg.latent_channels))
-    z = ddim_sample(den, x_T, tables)
+    from .core.dpm_solver import DPMTables, dpmpp_2m_sample
+
+    if isinstance(tables, DPMTables):  # fast path: DPM-Solver++(2M), ~20 steps
+        z = dpmpp_2m_sample(den, x_T, tables)
+    else:
+        z = ddim_sample(den, x_T, tables)
     img = model.apply(params, z, method=model.decode_latent)
     return jnp.clip(img, -1.0, 1.0)
