@@ -109,6 +109,78 @@ def diff_field(lms: np.ndarray, img_size: int = 256) -> np.ndarray:
     return np.moveaxis(diff, 0, -1)  # (H, W, 2K)
 
 
+def crop_face(
+    image: np.ndarray,
+    face_box: Tuple[int, int, int, int],
+    up_ratio: float = 0.6 / 0.85,
+    down_ratio: float = 0.2 / 0.85,
+    width_ratio: float = 0.2 / 0.85,
+) -> Tuple[np.ndarray, Tuple[int, int, int, int]]:
+    """Face-box-relative crop — futils.dlib.crop geometry (used at
+    preprocessing.py:141-143 with the same default ratios :18): expand the detector
+    box by up/down/width fractions of its height/width, clip to the image.
+
+    image: [H,W,3] uint8; face_box: (left, top, right, bottom) from ANY detector
+    (dlib when present, an external service, or manual annotation). Returns the
+    cropped image and the face box in crop coordinates."""
+    h, w = image.shape[:2]
+    left, top, right, bottom = face_box
+    fw, fh = right - left, bottom - top
+    x0 = int(max(0, left - width_ratio * fw))
+    x1 = int(min(w, right + width_ratio * fw))
+    y0 = int(max(0, top - up_ratio * fh))
+    y1 = int(min(h, bottom + down_ratio * fh))
+    crop = image[y0:y1, x0:x1]
+    return crop, (left - x0, top - y0, right - x0, bottom - y0)
+
+
+class FacePipeline:
+    """The full PreProcess.preprocess path (preprocessing.py:131-175): detect →
+    crop → parse at 512² → landmarks → (image, mask, diff, lms), with the detector
+    and landmark stages pluggable (dlib is an optional host dependency; production
+    uses the offline lms/*.npy cache exactly like the reference)."""
+
+    def __init__(self, face_parser=None, detector=None, landmarker=None,
+                 img_size: int = 256):
+        self.img_size = img_size
+        self.face_parser = face_parser
+        self.detector = detector
+        self.landmarker = landmarker
+
+    def __call__(self, image: np.ndarray, face_box=None, lms=None):
+        """image uint8 [H,W,3]. Returns (image [-1,1], mask_full, diff, lms) or None
+        when no face is found."""
+        from ..utils import native
+
+        if face_box is None:
+            if self.detector is None:
+                return None
+            boxes = self.detector(image)
+            if not boxes:
+                return None
+            face_box = boxes[0]
+        crop, face_in_crop = crop_face(image, face_box)
+        if self.face_parser is not None:
+            from PIL import Image as PILImage
+
+            big = np.asarray(
+                PILImage.fromarray(crop).resize((512, 512), PILImage.BILINEAR)
+            )
+            mask512 = self.face_parser.parse(big)
+            mask = native.resize_labels(mask512.astype(np.uint8), self.img_size)
+        else:
+            mask = np.zeros((self.img_size, self.img_size), np.int32)
+        if lms is None:
+            if self.landmarker is None:
+                return None
+            lms = self.landmarker(crop, face_in_crop)
+            lms = (lms * self.img_size / crop.shape[1]).round().astype(np.int32)
+            lms = np.clip(lms, 0, self.img_size - 1)
+            lms = fix_lip_landmarks(lms)
+        img = native.resize_normalize(crop, self.img_size)
+        return img, mask_channels(mask), diff_field(lms, self.img_size), lms
+
+
 def process(
     image_path: str,
     mask_path: str,

@@ -146,21 +146,32 @@ def make_denoiser(
     cfg_scale: float = 1.0,
     control_scales: Optional[jnp.ndarray] = None,
     only_mid_control: bool = False,
+    schedule: Optional[DiffusionSchedule] = None,
 ) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
-    """Build the `denoiser(x, t) -> eps` closure for core.ddim.
+    """Build the `denoiser(x, t) -> eps` closure for core.ddim / core.dpm_solver.
 
     With cfg_scale > 1 this fuses the cond/uncond passes into ONE 2×-batched forward
     (uncond first, cond second — MKDDIMSampler order, cddim.py:25-40), sharing the
-    hint between both halves (uc_cat = c_cat, diffusion_makeup.py:241)."""
+    hint between both halves (uc_cat = c_cat, diffusion_makeup.py:241).
+
+    When the model is v-parameterized, pass `schedule` so the raw v output is
+    converted to eps (cddim.py:42-43 predict_eps_from_z_and_v)."""
 
     use_cfg = uncond_context is not None and cfg_scale != 1.0
+    is_v = model.cfg.parameterization == "v"
+    if is_v and schedule is None:
+        raise ValueError("v-parameterized model needs `schedule` for eps conversion")
+
+    def to_eps(x, t, out):
+        return schedule.predict_eps_from_z_and_v(x, t, out) if is_v else out
 
     def denoiser(x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
         if not use_cfg:
-            return model.apply(
+            out = model.apply(
                 params, x, t, context, hint, control_scales, only_mid_control,
                 method=model.apply_eps,
             )
+            return to_eps(x, t, out)
         x_in = jnp.concatenate([x, x], axis=0)
         t_in = jnp.concatenate([t, t], axis=0)
         ctx_in = jnp.concatenate([uncond_context, context], axis=0)
@@ -169,6 +180,7 @@ def make_denoiser(
             params, x_in, t_in, ctx_in, hint_in, control_scales, only_mid_control,
             method=model.apply_eps,
         )
+        out = to_eps(x_in, t_in, out)
         e_uncond, e_cond = jnp.split(out, 2, axis=0)
         return e_uncond + cfg_scale * (e_cond - e_uncond)
 

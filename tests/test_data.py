@@ -136,3 +136,39 @@ def test_synthetic_face_batch_contract():
     assert b["src_img"].shape == (2, 64, 64, 3)
     assert b["context"].shape == (2, 16, 32)
     assert b["mask_s_full"].shape == (2, 64, 64, 4)
+
+
+def test_crop_face_geometry():
+    from makeupdiffuse_tpu.data.preprocess import crop_face
+    img = np.zeros((200, 300, 3), np.uint8)
+    crop, box = crop_face(img, (100, 80, 160, 140))  # 60x60 face
+    # expansions: width 0.235*60≈14, up 0.705*60≈42, down 0.235*60≈14
+    h, w = crop.shape[:2]
+    assert 80 < w < 100 and 110 < h < 125
+    l, t, r, b = box
+    assert 0 <= l < r and 0 <= t < b  # face box inside crop
+    # clipping at borders
+    crop2, _ = crop_face(img, (0, 0, 50, 50))
+    assert crop2.shape[0] > 0 and crop2.shape[1] > 0
+
+
+def test_face_pipeline_with_stubs():
+    from makeupdiffuse_tpu.data.preprocess import FacePipeline
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (128, 128, 3), dtype=np.uint8).astype(np.uint8)
+
+    class StubParser:
+        def parse(self, big):
+            return np.ones(big.shape[:2], np.int32)  # all face
+
+    lms = rng.randint(0, 63, (68, 2)).astype(np.int32)
+    pipe = FacePipeline(face_parser=StubParser(), img_size=64)
+    out = pipe(img, face_box=(20, 20, 100, 100), lms=lms)
+    assert out is not None
+    image, mask_full, diff, lms_out = out
+    assert image.shape == (64, 64, 3) and -1 <= image.min() and image.max() <= 1
+    assert mask_full.shape == (64, 64, 4)
+    assert mask_full[..., 1].sum() == 64 * 64  # all-face parser → face channel full
+    assert diff.shape == (64, 64, 136)
+    # no detector + no box → None
+    assert FacePipeline(img_size=64)(img) is None
