@@ -41,6 +41,8 @@ def transfer_artifacts(
     t_min: int = 100,
     cfg_scale: float = 9.0,
     sample: bool = True,
+    control_scales: Optional[jnp.ndarray] = None,
+    only_mid_control: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """log_results parity. All outputs are [-1,1] images (clamped by the caller or
     here where the reference clamps)."""
@@ -63,13 +65,16 @@ def transfer_artifacts(
     t = jax.random.randint(k_t, (b,), t_min, sched.num_timesteps)
     noise = jax.random.normal(k_noise, z.shape)
     x_noisy = sched.q_sample(z, t, noise)
-    eps = model.apply(params, x_noisy, t, context, hint, method=model.apply_eps)
+    eps = model.apply(params, x_noisy, t, context, hint, control_scales,
+                      only_mid_control, method=model.apply_eps)
     x_recon = sched.predict_start_from_noise(x_noisy, t, eps)
     out["sample_ddmp"] = model.apply(params, x_recon, method=model.decode_latent)
 
     latent_shape = z.shape
     if sample:
-        den = make_denoiser(model, params, context, hint)
+        den = make_denoiser(model, params, context, hint,
+                            control_scales=control_scales,
+                            only_mid_control=only_mid_control, schedule=sched)
         x_T = jax.random.normal(k_samp, latent_shape)
         z_samp = ddim_sample(den, x_T, tables)
         out["samples"] = model.apply(params, z_samp, method=model.decode_latent)
@@ -78,6 +83,8 @@ def transfer_artifacts(
         den_cfg = make_denoiser(
             model, params, context, hint,
             uncond_context=uncond_context, cfg_scale=cfg_scale,
+            control_scales=control_scales, only_mid_control=only_mid_control,
+            schedule=sched,
         )
         x_T = jax.random.normal(k_cfg, latent_shape)
         z_cfg = ddim_sample(den_cfg, x_T, tables)

@@ -83,3 +83,41 @@ def test_torch_key_style(setup):
     # every weight 2D+ in torch layout: conv OIHW / linear OI
     w = sd["model.diffusion_model.input_blocks.0.0.weight"]
     assert w.shape[-2:] == (3, 3)  # kh, kw last in torch
+
+
+def test_full_sd15_topology_roundtrip():
+    """Full-size SD1.5 topology (4 levels, attn on 3, 12 in-blocks + 12 out-blocks,
+    upsample slot 1-vs-2 depending on attention) survives export→convert with every
+    path and shape intact — shapes-only to keep CPU cost low."""
+    from makeupdiffuse_tpu.config import ModelConfig
+    from makeupdiffuse_tpu.models.controlled_ldm import fast_init_model
+
+    cfg = ModelConfig()
+    _, params = fast_init_model(cfg, seed=0)
+    p = params["params"]
+
+    torch_sd = export_torch_names(p, cfg)
+    # SD1.5 landmarks: 12 input blocks, middle, 12 output blocks, out head
+    keys = set(torch_sd)
+    assert "model.diffusion_model.input_blocks.11.0.in_layers.2.weight" in keys
+    assert "model.diffusion_model.middle_block.1.proj_out.weight" in keys
+    # level-3 first output block has NO attention → upsample at slot 1 of block 2
+    assert "model.diffusion_model.output_blocks.2.1.conv.weight" in keys
+    # level-2 output blocks HAVE attention → upsample at slot 2 of block 5
+    assert "model.diffusion_model.output_blocks.5.2.conv.weight" in keys
+    assert "model.diffusion_model.out.2.weight" in keys
+    assert "control_model.zero_convs.11.0.weight" in keys
+    assert "control_model.input_hint_block.14.weight" in keys
+    assert "first_stage_model.decoder.up.3.upsample.conv.weight" in keys
+    assert "cond_stage_model.transformer.text_model.encoder.layers.11.mlp.fc2.weight" in keys
+
+    # shrink hint conv to 3 input channels (stock ckpt), reconvert, compare trees
+    k = "control_model.input_hint_block.0.weight"
+    torch_sd[k] = torch_sd[k][:, :3]
+    back = convert_state_dict(torch_sd, cfg)
+    assert not back["__unconsumed__"], back["__unconsumed__"][:10]
+    flat_orig = flax.traverse_util.flatten_dict(p, sep="/")
+    flat_back = flax.traverse_util.flatten_dict(back["params"], sep="/")
+    assert set(flat_orig) == set(flat_back), sorted(set(flat_orig) ^ set(flat_back))[:10]
+    for key in flat_orig:
+        assert flat_back[key].shape == flat_orig[key].shape, key
