@@ -15,13 +15,11 @@ TPU-first: the whole artifact set compiles into one jitted program per
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
-from .config import ModelConfig, SampleConfig
 from .core.ddim import DDIMTables, ddim_sample
 from .core.schedule import DiffusionSchedule
 from .models.controlled_ldm import ControlledLDM, make_denoiser

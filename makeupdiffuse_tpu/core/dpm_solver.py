@@ -18,7 +18,7 @@ contract as core/ddim (CFG fuses identically).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ TPU-first design notes:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ Capability parity (/root/reference/diffdata/datasets.py, SURVEY §2 row 19):
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

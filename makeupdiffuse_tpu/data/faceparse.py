@@ -18,7 +18,7 @@ and gates live detection on dlib's availability (detect_landmarks).
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax

@@ -12,7 +12,7 @@ from __future__ import annotations
 import glob
 import io
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 from PIL import Image

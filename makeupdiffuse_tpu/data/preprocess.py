@@ -15,7 +15,7 @@ Everything returns numpy; DataLoader workers stay off the TPU.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 from PIL import Image

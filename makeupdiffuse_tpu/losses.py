@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from .config import ModelConfig
-from .core.schedule import DiffusionSchedule, extract
+from .core.schedule import DiffusionSchedule
 from .models.controlled_ldm import ControlledLDM
 from .ops.masks import background_mask, expand_area
 

@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
-from ..core.ddim import DDIMTables
 from ..core.schedule import DiffusionSchedule
 from .clip_text import CLIPTextEncoder
 from .controlnet import ControlNet

@@ -11,13 +11,12 @@ ldm timestep embedding, re-expressed TPU-first:
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import mha_attention
 from ..ops import pallas_attention
 
 Dtype = Any

@@ -7,10 +7,7 @@ losses (:87-93).
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Protocol
-
-import jax.numpy as jnp
-
+from typing import Callable, Dict, Protocol
 
 class Teacher(Protocol):
     """(image_s, image_r, mask_s_full, mask_r_full, lms_s, lms_r) → preliminary

@@ -23,7 +23,7 @@ tools/convert_torch_ckpt.py-style mapping can be added once a checkpoint exists.
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax

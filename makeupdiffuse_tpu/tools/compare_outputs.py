@@ -10,7 +10,7 @@ import argparse
 import glob
 import json
 import os
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

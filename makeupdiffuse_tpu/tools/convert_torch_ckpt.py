@@ -17,7 +17,7 @@ imported to open ``.ckpt``/``.pth`` files.
 from __future__ import annotations
 
 import re
-from typing import Any, Callable, Dict, Mapping, Tuple
+from typing import Any, Dict, Mapping, Tuple
 
 import numpy as np
 

@@ -13,7 +13,7 @@ and images stream through in batches.
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterable, Optional
+from typing import Iterable
 
 import jax
 import jax.numpy as jnp

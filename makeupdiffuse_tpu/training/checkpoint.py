@@ -10,9 +10,8 @@ curriculum exactly).
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 from .train_state import TrainState

@@ -56,9 +56,14 @@ class TrainState(flax.struct.PyTreeNode):
     opt_state: Any
     t_min: jnp.ndarray  # traced — annealed by AdjustTmin without recompiling
     tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    # optional EMA of the trainable params (LatentDiffusion's use_ema knob —
+    # the reference config ships use_ema: False, yaml:48; the capability exists)
+    ema_params: Any = None
+    ema_decay: float = flax.struct.field(pytree_node=False, default=0.9999)
 
     @classmethod
-    def create(cls, params, train_cfg: TrainConfig, model_cfg: ModelConfig) -> "TrainState":
+    def create(cls, params, train_cfg: TrainConfig, model_cfg: ModelConfig,
+               use_ema: bool = False, ema_decay: float = 0.9999) -> "TrainState":
         tx = make_optimizer(train_cfg, params)
         return cls(
             step=jnp.zeros((), jnp.int32),
@@ -66,14 +71,24 @@ class TrainState(flax.struct.PyTreeNode):
             opt_state=tx.init(params),
             t_min=jnp.asarray(model_cfg.t_min, jnp.int32),
             tx=tx,
+            ema_params=jax.tree_util.tree_map(lambda x: x, params) if use_ema else None,
+            ema_decay=ema_decay,
         )
 
     def apply_gradients(self, grads) -> "TrainState":
         updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        new_ema = self.ema_params
+        if new_ema is not None:
+            d = self.ema_decay
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1.0 - d) * p, new_ema, new_params
+            )
         return self.replace(
             step=self.step + 1,
-            params=optax.apply_updates(self.params, updates),
+            params=new_params,
             opt_state=new_opt,
+            ema_params=new_ema,
         )
 
     def adjust_t_min(self, delta_t: int, t_max: int) -> "TrainState":

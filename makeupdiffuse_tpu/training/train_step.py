@@ -6,7 +6,6 @@ inserts the gradient all-reduce over ICI automatically.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Tuple
 
 import jax

@@ -158,3 +158,23 @@ def test_dp_sharded_train_step_matches_single(setup):
     np.testing.assert_allclose(
         float(metrics_dp["loss"]), float(metrics_single["loss"]), rtol=2e-4
     )
+
+
+def test_ema_tracking(setup):
+    cfg, model, params, sched = setup
+    params = _trained_like(params)
+    state = TrainState.create(params, cfg.train, cfg.model, use_ema=True, ema_decay=0.5)
+    assert state.ema_params is not None
+    step = make_train_step(model, sched, cfg.model, donate=False)
+    batch = _batch(cfg)
+    new_state, _ = step(state, batch, jax.random.PRNGKey(0))
+    import flax
+    p = flax.traverse_util.flatten_dict(new_state.params["params"], sep="/")
+    e = flax.traverse_util.flatten_dict(new_state.ema_params["params"], sep="/")
+    moved = [k for k in p if not np.allclose(p[k], e[k])]
+    assert moved  # EMA lags the live params where they moved
+    # EMA = 0.5*old + 0.5*new for the moved leaves
+    o = flax.traverse_util.flatten_dict(params["params"], sep="/")
+    for k in moved[:3]:
+        np.testing.assert_allclose(np.asarray(e[k]), 0.5 * np.asarray(o[k]) + 0.5 * np.asarray(p[k]),
+                                   rtol=1e-5, atol=1e-7)
