@@ -1,14 +1,20 @@
-"""Benchmark driver: full makeup-transfer pipeline on the real TPU chip.
+"""Benchmark driver: the BASELINE.json configs on the real TPU chip.
 
-Measures the BASELINE.json north-star config: 256×256 50-step cDDIM with CFG 9
+Default (no flags) = the north-star metric: 256×256 50-step cDDIM with CFG 9
 (= 100 ControlNet+UNet forwards per image, the reference's inference cost,
-/root/reference/diffmk/diffusion_makeup.py:201,292-303) + VAE encode/decode,
-end-to-end, bf16 compute. Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
-vs_baseline is measured / 4.0 (the ≥4 img/s/chip v5e target; the torch reference
+/root/reference/diffmk/diffusion_makeup.py:201,292-303) + VAE encode/decode, batch 8,
+bf16, Pallas flash attention. Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+vs_baseline = measured / 4.0 (the ≥4 img/s/chip v5e target; the torch reference
 publishes no numbers — BASELINE.md).
 
-Usage: python bench.py [--batch 8] [--steps 50] [--repeats 3] [--config N]
+--config N instruments the other BASELINE.json configs:
+  1 histogram-matching pseudo-label generation, one MT pair (host CPU)
+  2 teacher module forward: preliminary transfer x_p at 256², batch 1
+  3 single denoise step: dual-ControlNet UNet on 32² latent
+  4 full pipeline, batch 1
+  5 batched transfer + makeup interpolation sweep, batch 8  (the default)
+--sampler dpmpp benches the DPM-Solver++(2M) fast path instead of cDDIM.
 """
 import argparse
 import dataclasses
@@ -24,14 +30,26 @@ import jax
 import jax.numpy as jnp
 
 
+def _timeit(fn, repeats):
+    out = fn()
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(repeats):
+        t0 = time.time()
+        out = fn()
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    return min(times)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--config", type=int, default=5, choices=[1, 2, 3, 4, 5])
+    ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--cfg-scale", type=float, default=9.0)
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--sampler", default="ddim", choices=["ddim", "dpmpp"],
-                    help="ddim = 50-step parity metric; dpmpp = DPM-Solver++(2M) fast path")
+    ap.add_argument("--sampler", default="ddim", choices=["ddim", "dpmpp"])
     args = ap.parse_args()
 
     from makeupdiffuse_tpu.config import ModelConfig
@@ -41,8 +59,7 @@ def main():
     from makeupdiffuse_tpu.models.controlled_ldm import fast_init_model, make_denoiser
     from makeupdiffuse_tpu.ops import pallas_attention
 
-    # Pallas flash attention on the big self-attention layers: +10% end-to-end
-    pallas_attention.FLASH_DEFAULT = True
+    pallas_attention.FLASH_DEFAULT = True  # +10% end-to-end on v5e
 
     base = ModelConfig()
     cfg = dataclasses.replace(
@@ -50,9 +67,78 @@ def main():
         unet=dataclasses.replace(base.unet, use_checkpoint=False),
         control=dataclasses.replace(base.control, use_checkpoint=False),
     )
+    H = cfg.image_size
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+
+    # ---- config 1: histogram-matching PGT, one pair, host CPU ---------------------
+    if args.config == 1:
+        from makeupdiffuse_tpu.teacher.pgt import compose_pgt
+
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            img_s = jax.random.uniform(ks[0], (1, H, H, 3)) * 2 - 1
+            img_r = jax.random.uniform(ks[1], (1, H, H, 3)) * 2 - 1
+            mask = (jax.random.uniform(ks[2], (1, H, H, 4)) > 0.7).astype(jnp.float32)
+            alphas = jnp.asarray([0.1, 0.6, 0.3])
+            fn = jax.jit(lambda: compose_pgt(img_s, img_r, mask, mask, alphas))
+            best = _timeit(fn, args.repeats)
+        result = {
+            "metric": "PGT pseudo-label pairs/sec, one 2562 MT pair, host CPU",
+            "value": round(1.0 / best, 4), "unit": "pairs/sec",
+            "vs_baseline": None,
+        }
+        print(json.dumps(result))
+        return
+
     model, params = fast_init_model(cfg)
     params = jax.device_put(params, jax.devices()[0])
     sched = DiffusionSchedule.create(timesteps=cfg.timesteps)
+
+    # ---- config 2: teacher forward x_p at 256², batch 1 ---------------------------
+    if args.config == 2:
+        from makeupdiffuse_tpu.teacher.elegant import EleGANtTeacher
+
+        teacher = EleGANtTeacher()
+        teacher.params = jax.device_put(teacher.params, jax.devices()[0])
+        img_s = jax.random.uniform(ks[0], (1, H, H, 3)) * 2 - 1
+        img_r = jax.random.uniform(ks[1], (1, H, H, 3)) * 2 - 1
+        mask = (jax.random.uniform(ks[2], (1, H, H, 4)) > 0.7).astype(jnp.float32)
+        diff = jax.random.normal(ks[3], (1, H, H, 136))
+        fn = jax.jit(lambda p: teacher.model.apply(
+            p, img_s, img_r,
+            jnp.concatenate([mask[..., :1], mask[..., 1:].sum(-1, keepdims=True)], -1),
+            jnp.concatenate([mask[..., :1], mask[..., 1:].sum(-1, keepdims=True)], -1),
+            diff, diff))
+        best = _timeit(lambda: fn(teacher.params), args.repeats)
+        result = {
+            "metric": "teacher preliminary transfers/sec, 256x256, batch 1 (EleGANt-style)",
+            "value": round(1.0 / best, 4), "unit": "transfers/sec",
+            "vs_baseline": None,
+        }
+        print(json.dumps(result))
+        return
+
+    # ---- config 3: single dual-ControlNet denoise step ----------------------------
+    if args.config == 3:
+        b = args.batch or 1
+        x = jax.random.normal(ks[0], (b, cfg.latent_size, cfg.latent_size, 4))
+        t = jnp.full((b,), 500, jnp.int32)
+        ctx = jax.random.normal(ks[1], (b, cfg.clip.max_length, cfg.unet.context_dim))
+        hint = jax.random.uniform(ks[2], (b, H, H, 6))
+        fn = jax.jit(lambda p, x: model.apply(p, x, t, ctx, hint, method=model.apply_eps))
+        best = _timeit(lambda: fn(params, x), max(args.repeats, 10))
+        result = {
+            "metric": f"denoise steps/sec, dual-ControlNet+UNet 32x32 latent, batch {b}, bf16",
+            "value": round(b / best, 2), "unit": "steps/sec",
+            "vs_baseline": None,
+        }
+        print(json.dumps(result))
+        print(f"# {best*1000:.2f} ms/step", file=sys.stderr)
+        return
+
+    # ---- configs 4/5: full pipeline ------------------------------------------------
+    b = args.batch or (1 if args.config == 4 else 8)
     if args.sampler == "dpmpp":
         tables = DPMTables.create(sched, num_steps=args.steps)
         sample_fn = dpmpp_2m_sample
@@ -60,11 +146,6 @@ def main():
         tables = DDIMTables.create(sched, num_steps=args.steps, eta=0.0)
         sample_fn = ddim_sample
 
-    b = args.batch
-    H = cfg.image_size
-    hs = cfg.latent_size
-    key = jax.random.PRNGKey(0)
-    ks = jax.random.split(key, 6)
     src = jax.random.uniform(ks[0], (b, H, H, 3))
     ref = jax.random.uniform(ks[1], (b, H, H, 3))
     ctx = jax.random.normal(ks[2], (b, cfg.clip.max_length, cfg.unet.context_dim))
@@ -73,7 +154,7 @@ def main():
 
     @jax.jit
     def pipeline(params, pgt, src, ref, ctx, uc, rng):
-        """VAE encode → diffuse → steps×CFG-cDDIM → VAE decode (north-star cfg 4/5).
+        """VAE encode → diffuse → steps×CFG sampling → VAE decode.
 
         params is an ARGUMENT (closing over it would bake 5.7GB of constants into
         the HLO and stall compilation)."""
@@ -90,24 +171,19 @@ def main():
         img = model.apply(params, z_out, method=model.decode_latent)
         return jnp.clip(img, -1.0, 1.0)
 
-    # compile + warmup
     t0 = time.time()
     out = pipeline(params, pgt, src, ref, ctx, uc, jax.random.PRNGKey(1))
     out.block_until_ready()
     compile_s = time.time() - t0
 
-    times = []
-    for i in range(args.repeats):
-        t0 = time.time()
-        out = pipeline(params, pgt, src, ref, ctx, uc, jax.random.PRNGKey(2 + i))
-        out.block_until_ready()
-        times.append(time.time() - t0)
-    best = min(times)
+    best = _timeit(
+        lambda: pipeline(params, pgt, src, ref, ctx, uc, jax.random.PRNGKey(7)),
+        args.repeats,
+    )
     imgs_per_sec = b / best
-
+    name = "DPM++2M" if args.sampler == "dpmpp" else "cDDIM"
     result = {
-        "metric": f"images/sec/chip, {H}x{H} {args.steps}-step "
-                  f"{'DPM++2M' if args.sampler == 'dpmpp' else 'cDDIM'} "
+        "metric": f"images/sec/chip, {H}x{H} {args.steps}-step {name} "
                   f"CFG{args.cfg_scale:g}, batch {b}, bf16",
         "value": round(imgs_per_sec, 4),
         "unit": "images/sec/chip",
@@ -115,8 +191,8 @@ def main():
     }
     print(json.dumps(result))
     print(
-        f"# compile {compile_s:.1f}s; per-batch best {best:.3f}s over {args.repeats} repeats; "
-        f"device={jax.devices()[0]}",
+        f"# compile {compile_s:.1f}s; per-batch best {best:.3f}s over {args.repeats} "
+        f"repeats; device={jax.devices()[0]}",
         file=sys.stderr,
     )
 

@@ -119,8 +119,9 @@ def _flash_bwd(res, g):
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
-# module-level switch: models consult this when their own flag is unset
+# module-level switches: models consult these when their own flag is unset
 FLASH_DEFAULT = False
+FLASH_MIN_SEQ = 512  # self-attention length at which the kernel wins on v5e
 
 
 def attention(
@@ -132,7 +133,7 @@ def attention(
     beats/matches XLA's fused attention — measured on v5e), jnp/XLA otherwise.
     Small sequences and head dims pay more in 128-lane padding than they save."""
     flash = FLASH_DEFAULT if use_flash is None else use_flash
-    large_self = q.shape[1] == k.shape[1] and k.shape[1] >= 512
+    large_self = q.shape[1] == k.shape[1] and k.shape[1] >= FLASH_MIN_SEQ
     if flash and mask is None and large_self:
         return flash_attention(q, k, v)
     return mha_attention(q, k, v, mask=mask)
