@@ -81,8 +81,9 @@ def main():
             img_r = jax.random.uniform(ks[1], (1, H, H, 3)) * 2 - 1
             mask = (jax.random.uniform(ks[2], (1, H, H, 4)) > 0.7).astype(jnp.float32)
             alphas = jnp.asarray([0.1, 0.6, 0.3])
-            fn = jax.jit(lambda: compose_pgt(img_s, img_r, mask, mask, alphas))
-            best = _timeit(fn, args.repeats)
+            # arguments, not closures — closures constant-fold at compile time
+            fn = jax.jit(compose_pgt)
+            best = _timeit(lambda: fn(img_s, img_r, mask, mask, alphas), args.repeats)
         result = {
             "metric": "PGT pseudo-label pairs/sec, one 2562 MT pair, host CPU",
             "value": round(1.0 / best, 4), "unit": "pairs/sec",
