@@ -70,6 +70,8 @@ def fit(
     num_epochs: Optional[int] = None,
     steps_per_epoch: Optional[int] = None,
     on_epoch_end: Optional[Callable[[int, TrainState], None]] = None,
+    sample_log: bool = False,
+    sample_steps: int = 50,
 ) -> TrainState:
     """Run the fit loop. `data(epoch)` yields host batches; `context_fn(b)` returns
     the CLIP context for a batch of size b (fixed-prompt bank in production)."""
@@ -115,13 +117,31 @@ def fit(
             metrics.update(timer.scalars())
             metrics_log.log(step, metrics)
             if image_log.should_log(step):
-                # light-weight per-step grids (control hints, teacher target); the
-                # full sampled artifact set comes from scripts/test.py / api
+                # light-weight per-step grids (control hints, teacher target)
                 image_log.log_images(step, {
                     "control_src": np.asarray(mb["src_img"]) * 2 - 1,
                     "control_ref": np.asarray(mb["ref_img"]) * 2 - 1,
                     "ground_truth": np.asarray(mb["pgt_sr"]),
                 })
+                if sample_log:
+                    # the reference's full log_images: sampled artifact grids every
+                    # batch_frequency steps (MakeupImageLogger → log_images,
+                    # diffusion_makeup.py:180-252); off by default — each call runs
+                    # two full DDIM chains
+                    from ..api import transfer_artifacts
+                    from ..core.ddim import DDIMTables
+
+                    tables = DDIMTables.create(sched, num_steps=sample_steps)
+                    n = min(4, mb["src_img"].shape[0])
+                    arts = transfer_artifacts(
+                        model, state.params, sched, tables,
+                        mb["pgt_sr"][:n], mb["src_img"][:n], mb["ref_img"][:n],
+                        mb["context"][:n], jnp.zeros_like(mb["context"][:n]),
+                        step_key, t_min=int(state.t_min),
+                    )
+                    image_log.log_images(
+                        step, {k: np.asarray(v) for k, v in arts.items()}
+                    )
             ckpt.maybe_save(state)
         # epoch hooks: AdjustTmin (makeup_diffuse.py:262-266) + PGT alpha anneal
         if m.is_adjust:

@@ -138,3 +138,27 @@ def test_interpolate_transfer(setup):
                                num_steps=4, cfg_scale=9.0)
     assert out.shape == (4, H, H, 3)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_fit_sample_logging(setup, tmp_path):
+    """sample_log=True dumps sampled artifact grids every logger_freq steps
+    (MakeupImageLogger full log_images parity)."""
+    import dataclasses
+    cfg, model, params = setup
+    m = cfg.model
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, ckpt_every_steps=0, logger_freq=1)
+    )
+    params = jax.tree_util.tree_map(lambda x: x.copy(), params)
+    state = TrainState.create(params, cfg.train, m)
+
+    def data(epoch):
+        yield synthetic_face_batch(2, m.image_size, m.unet.context_dim,
+                                   m.clip.max_length, seed=7)
+
+    ctx_fn = lambda b: jnp.zeros((b, m.clip.max_length, m.unet.context_dim))
+    fit(cfg, model, state, data, ctx_fn, log_dir=str(tmp_path), num_epochs=1,
+        mesh=None, sample_log=True, sample_steps=2)
+    pngs = {os.path.basename(p) for p in glob.glob(str(tmp_path / "images" / "*.png"))}
+    assert any(p.startswith("samples_cfg_scale_9.00") for p in pngs), pngs
+    assert any(p.startswith("sample_ddmp") for p in pngs)
