@@ -178,6 +178,7 @@ def composite_loss(
     rng: jax.Array,
     t_min: jnp.ndarray,  # traced scalar — annealed without recompiling
     align_pgt_range: bool = False,
+    decode_chunks: int = 3,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """The full composite loss.
 
@@ -232,9 +233,20 @@ def composite_loss(
     loss_idt_src = per_a[B:2 * B].mean()
     loss_idt_ref = per_a[2 * B:].mean()
 
-    # fake_sr from the base slice (x_recon → decode → clamp → [0,1])
+    # fake_sr from the base slice (x_recon → decode → clamp → [0,1]); the decode is
+    # rematerialized AND chunked over the batch — the 256² decoder's f32 backward
+    # buffers at batch 6 are ~12G of HLO temps and OOM a 16G chip otherwise
     fake_sr_z = sched.predict_start_from_noise(x_a[:B], t_a[:B], eps_a[:B])
-    fake_sr = model.apply(params, fake_sr_z, method=model.decode_latent)
+    decode = jax.checkpoint(
+        lambda p, z: model.apply(p, z, method=model.decode_latent)
+    )
+    chunks = decode_chunks if B % decode_chunks == 0 else 1
+    if chunks > 1:
+        zc = fake_sr_z.reshape((chunks, B // chunks) + fake_sr_z.shape[1:])
+        fake_sr = jax.lax.map(lambda z: decode(params, z), zc)
+        fake_sr = fake_sr.reshape((B,) + fake_sr.shape[2:])
+    else:
+        fake_sr = decode(params, fake_sr_z)
     fake_sr = (jnp.clip(fake_sr, -1.0, 1.0) + 1.0) / 2.0
 
     # ---- stage B: (cycle_content ‖ cycle_makeup) in one forward ------------------

@@ -112,7 +112,10 @@ def make_generate(
 
         den = jax.checkpoint(denoiser) if remat else denoiser
         z = ddim_reconstruct(den, inv, tables, t_start=iter_finetune)
-        img = model.apply(params, z, method=model.decode_latent)
+        decode = lambda p, zz: model.apply(p, zz, method=model.decode_latent)
+        if remat:  # decoder residuals are the other big HBM consumer
+            decode = jax.checkpoint(decode)
+        img = decode(params, z)
         return jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
 
     return generate

@@ -76,10 +76,7 @@ def main():
         batches = []
         for i in range(0, n, args.batch_size):
             items = [ds[j] for j in range(i, min(i + args.batch_size, n))]
-            hb = collate(items)
-            # teacher inputs
-            hb["mask_r_full"] = hb["mask_r_full"] if "mask_r_full" in hb else None
-            batches.append(hb)
+            batches.append(collate(items))
 
     ctx_row = bank["makeup transfer"]
     uc_row = bank[""]
