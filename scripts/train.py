@@ -38,7 +38,7 @@ def main():
     from makeupdiffuse_tpu.models.clip_text import precompute_prompt_bank, PROMPT_IDS
     from makeupdiffuse_tpu.models.controlled_ldm import ControlledLDM, fast_init_model, init_model
     from makeupdiffuse_tpu.training.loop import fit
-    from makeupdiffuse_tpu.training.train_state import TrainState
+    from makeupdiffuse_tpu.training.train_state import TrainState, cast_frozen_to_bf16
     from makeupdiffuse_tpu.training.checkpoint import CheckpointManager
 
     cfg = (load_config(args.config) if args.config
@@ -56,6 +56,10 @@ def main():
             loaded = pickle.load(f)
         params = {"params": loaded["params"]}
         params = jax.tree_util.tree_map(jnp.asarray, params)
+    if not args.tiny:
+        # frozen UNet/VAE/CLIP in bf16: ~2.1G HBM saved, required to fit the
+        # batch-6 composite step on a 16G chip
+        params = cast_frozen_to_bf16(params, sd_locked=cfg.train.sd_locked)
 
     state = TrainState.create(params, cfg.train, m)
 

@@ -178,3 +178,21 @@ def test_ema_tracking(setup):
     for k in moved[:3]:
         np.testing.assert_allclose(np.asarray(e[k]), 0.5 * np.asarray(o[k]) + 0.5 * np.asarray(p[k]),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_cast_frozen_to_bf16(setup):
+    from makeupdiffuse_tpu.training.train_state import cast_frozen_to_bf16
+    cfg, model, params, sched = setup
+    import flax
+    cast = cast_frozen_to_bf16(params, sd_locked=True)
+    flat = flax.traverse_util.flatten_dict(cast["params"], sep="/")
+    for k, v in flat.items():
+        if k.startswith("control_model"):
+            assert v.dtype == jnp.float32, k  # trainable stays f32
+        else:
+            assert v.dtype == jnp.bfloat16, k  # frozen cast down
+    # the model still runs with mixed-dtype params
+    batch = _batch(cfg)
+    loss, _ = composite_loss(model, cast, sched, cfg.model, batch,
+                             jax.random.PRNGKey(0), jnp.asarray(100))
+    assert np.isfinite(float(loss))
