@@ -240,7 +240,9 @@ def composite_loss(
     decode = jax.checkpoint(
         lambda p, z: model.apply(p, z, method=model.decode_latent)
     )
-    chunks = decode_chunks if B % decode_chunks == 0 else 1
+    # largest divisor of B not exceeding the requested chunk count (so batch sizes
+    # that don't divide by 3 still get chunked, e.g. B=8 → 2 chunks)
+    chunks = max(c for c in range(1, min(decode_chunks, B) + 1) if B % c == 0)
     if chunks > 1:
         zc = fake_sr_z.reshape((chunks, B // chunks) + fake_sr_z.shape[1:])
         fake_sr = jax.lax.map(lambda z: decode(params, z), zc)
