@@ -109,6 +109,10 @@ class ModelConfig:
     latent_channels: int = 4
     scale_factor: float = 0.18215
     parameterization: str = "eps"
+    # reference behavior: fake_sr = generate_image() is produced under
+    # @torch.no_grad (decode_first_stage) and thus DETACHED from the base pass;
+    # True backprops through the VAE decode into the base pass (extension)
+    grad_through_fake_sr: bool = False
     only_mid_control: bool = False
     # hint ablations (SURVEY §2 row 10): double | single_ref | single_src | none
     hint_mode: str = "double"

@@ -19,7 +19,6 @@ DataLoader(num_workers=2), runs/train.py:32).
 from __future__ import annotations
 
 import os
-import queue
 import threading
 from typing import Dict, Iterator, Optional, Sequence
 
@@ -38,7 +37,7 @@ class MTDataset:
         self.root = root
         self.img_size = img_size
         self.keep_order = keep_order
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
         with open(os.path.join(root, "makeup.txt")) as f:
             self.makeup_names = [l.strip() for l in f if l.strip()]
         with open(os.path.join(root, "non-makeup.txt")) as f:
@@ -84,9 +83,13 @@ class MTDataset:
         )
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
-        idx_s = self.rng.randint(len(self.non_makeup_names))
-        idx_r = self.rng.randint(len(self.makeup_names))
-        swap = (not self.keep_order) and self.rng.randint(3) > 1  # p = 1/3
+        # index-driven RNG: (seed, index) fully determines the item, so worker
+        # threads never share mutable state and the same seed reproduces the same
+        # sequence regardless of thread scheduling
+        rng = np.random.RandomState((self.seed * 1_000_003 + index) % (2**31 - 1))
+        idx_s = rng.randint(len(self.non_makeup_names))
+        idx_r = rng.randint(len(self.makeup_names))
+        swap = (not self.keep_order) and rng.randint(3) > 1  # p = 1/3
         item = self.make_item(self.non_makeup_names[idx_s], self.makeup_names[idx_r], swap)
         item["txt"] = PROMPT
         return item
@@ -136,24 +139,42 @@ def data_loader(
     num_steps: Optional[int] = None,
     num_workers: int = 2,
     seed: int = 0,
+    prefetch: int = 4,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Threaded prefetching batcher (DataLoader(num_workers=2) stand-in)."""
+    """Threaded prefetching batcher (DataLoader(num_workers=2) stand-in).
+
+    Deterministic and thread-safe: batch index lists come from `seed`, items are
+    index-driven (see MTDataset.__getitem__), and batches are yielded in batch
+    order regardless of which worker finished first — same seed ⇒ identical batch
+    sequence at any worker count."""
     rng = np.random.RandomState(seed)
     n = len(dataset)
     total = num_steps if num_steps is not None else max(n // batch_size, 1)
-    q: "queue.Queue" = queue.Queue(maxsize=4)
 
     idx_batches = [
         rng.randint(0, n, size=batch_size).tolist() for _ in range(total)
     ]
 
-    def worker(batches):
-        for idxs in batches:
-            q.put(collate([dataset[i] for i in idxs]))
+    results: Dict[int, Dict[str, np.ndarray]] = {}
+    cond = threading.Condition()
+    budget = threading.Semaphore(max(prefetch, num_workers))
 
-    chunks = [idx_batches[i::num_workers] for i in range(num_workers)]
-    threads = [threading.Thread(target=worker, args=(c,), daemon=True) for c in chunks]
+    def worker(start: int):
+        for bi in range(start, total, num_workers):
+            budget.acquire()
+            batch = collate([dataset[i] for i in idx_batches[bi]])
+            with cond:
+                results[bi] = batch
+                cond.notify_all()
+
+    threads = [threading.Thread(target=worker, args=(w,), daemon=True)
+               for w in range(num_workers)]
     for t in threads:
         t.start()
-    for _ in range(total):
-        yield q.get()
+    for bi in range(total):
+        with cond:
+            while bi not in results:
+                cond.wait()
+            batch = results.pop(bi)
+        budget.release()
+        yield batch

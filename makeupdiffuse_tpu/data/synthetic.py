@@ -71,17 +71,19 @@ def synthetic_face_batch(batch: int, img_size: int, context_dim: int,
         eye_r[int(0.4 * H):int(0.44 * H), int(0.58 * H):int(0.7 * H)] = 1
         mask_full = np.stack([lip, face, eye_l, eye_r], -1)
         seg = (face * 1 + lip * 8 + eye_l * 5 + eye_r * 0).astype(np.int32)
-        return np.clip(img, -1, 1), mask_full, seg
+        lms = np.stack([r.uniform(0.3 * H, 0.7 * H, 68),
+                        r.uniform(0.3 * H, 0.7 * H, 68)], -1).astype(np.float32)
+        return np.clip(img, -1, 1), mask_full, seg, lms
+
+    from .preprocess import diff_field
 
     items = []
     for i in range(batch):
-        s_img, s_mask, s_seg = one(seed * 7919 + 2 * i)
-        r_img, r_mask, r_seg = one(seed * 7919 + 2 * i + 1)
-        items.append((s_img, s_mask, s_seg, r_img, r_mask, r_seg))
+        items.append(one(seed * 7919 + 2 * i) + one(seed * 7919 + 2 * i + 1))
 
     stack = lambda j: np.stack([it[j] for it in items])
-    s_img, s_mask, s_seg = stack(0), stack(1), stack(2)
-    r_img, r_mask, r_seg = stack(3), stack(4), stack(5)
+    s_img, s_mask, s_seg, s_lms = stack(0), stack(1), stack(2), stack(3)
+    r_img, r_mask, r_seg, r_lms = stack(4), stack(5), stack(6), stack(7)
     pgt = np.clip(0.5 * s_img + 0.5 * r_img, -1, 1)
     return dict(
         src_img=((s_img + 1) / 2).astype(np.float32),
@@ -89,8 +91,13 @@ def synthetic_face_batch(batch: int, img_size: int, context_dim: int,
         nonmakeup_img=s_img,
         makeup_img=r_img,
         nonmakeup_seg=s_seg,
+        makeup_seg=r_seg,
         mask_s_full=s_mask.astype(np.float32),
         mask_r_full=r_mask.astype(np.float32),
+        # landmark tuples for the GAN teachers (EleGANt conditioning)
+        lms_s=s_lms, lms_r=r_lms,
+        diff_s=np.stack([diff_field(l, H) for l in s_lms]),
+        diff_r=np.stack([diff_field(l, H) for l in r_lms]),
         pgt_sr=pgt.astype(np.float32),
         makeup_pgt=pgt.astype(np.float32),
         context=rng.normal(size=(batch, max_length, context_dim)).astype(np.float32),

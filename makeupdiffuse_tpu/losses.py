@@ -12,9 +12,11 @@ Capability parity: ``BaseMakeUpDiffuse.p_losses`` and helpers
        + w_bkgrd·loss_background                             (masked L2, seg∈{0,11,12})
        + w_makeup·(λ_lip·L1_lip + λ_eye·L1_eye + λ_skin·L1_skin vs makeup_pgt)
 
-Each diffuse term: z=get_z(gt); t~U[tmin,T); x_t=q_sample; eps-loss with per-t logvar
-weighting (logvar≡0 ⇒ plain MSE, makeup_teacher.py:84-85); the base pass also yields
-fake_sr = decode(pred_x0) used by the cycle/background/makeup terms (:119-148).
+Each diffuse term: z=get_z(gt); t~U[tmin,T); x_t=q_sample; parameterization-selected
+target (noise / x_start / get_v, origin_x0.py:22-28 + makeup_diffuse.py:83-91) with
+per-t logvar weighting (logvar≡0 ⇒ plain MSE, makeup_teacher.py:84-85); the base pass
+also yields fake_sr = decode(x_recon) used by the cycle/background/makeup terms
+(:119-148).
 
 TPU-first restructuring (SURVEY.md §7 step 8 / "hard parts"):
   * The reference runs 5 sequential ControlNet+UNet forwards + 5 VAE encodes per
@@ -23,7 +25,12 @@ TPU-first restructuring (SURVEY.md §7 step 8 / "hard parts"):
     into ONE 2B-batch forward — 2 forwards instead of 5, one VAE moment-encode for
     all three gt images with per-pass posterior resampling (matching the reference's
     independent get_z draws).
-  * Gradients flow through fake_sr exactly as in the reference (no detach).
+  * fake_sr is DETACHED by default, matching the reference: generate_image →
+    decode_first_stage is @torch.no_grad in ldm (makeup_diffuse.py:172-177; the
+    cycle-finetune family adds a grad-enabled decode_latent_code at makeups.py:260
+    precisely because of that). Set ``cfg.grad_through_fake_sr=True`` to backprop
+    through the decode into the base pass (an intentional extension, NOT reference
+    behavior) — that path pays a remat'd, batch-chunked decode backward.
 
 Range-faithfulness note: the reference compares fake_sr∈[0,1] against
 makeup_pgt∈[-1,1] in the region loss (diffusion_makeup.py:77 vs makeup_diffuse.py:122)
@@ -46,12 +53,50 @@ def _posterior_z(mean, logvar, rng, scale):
     return scale * (mean + jnp.exp(0.5 * logvar) * jax.random.normal(rng, mean.shape))
 
 
-def _eps_loss(sched: DiffusionSchedule, eps: jnp.ndarray, noise: jnp.ndarray,
-              t: jnp.ndarray) -> jnp.ndarray:
-    """Per-sample eps MSE with logvar weighting (zeros ⇒ identity)."""
-    per = jnp.mean((eps - noise) ** 2, axis=(1, 2, 3))
+def _weighted_mse(sched: DiffusionSchedule, out: jnp.ndarray, target: jnp.ndarray,
+                  t: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample MSE with logvar weighting (zeros ⇒ identity)."""
+    per = jnp.mean((out - target) ** 2, axis=(1, 2, 3))
     logvar_t = sched.logvar[t]
     return per / jnp.exp(logvar_t) + logvar_t
+
+
+def diffusion_target(sched: DiffusionSchedule, parameterization: str,
+                     x_start: jnp.ndarray, noise: jnp.ndarray, t: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """Training target by parameterization (ModifiedX0.p_losses,
+    /root/reference/diffmk/origin_x0.py:22-28): eps → noise, x0 → x_start,
+    v → get_v(x_start, noise, t)."""
+    if parameterization == "eps":
+        return noise
+    if parameterization == "x0":
+        return x_start
+    if parameterization == "v":
+        return sched.get_v(x_start, noise, t)
+    raise ValueError(f"unknown parameterization {parameterization!r}")
+
+
+def model_output_for_loss(sched: DiffusionSchedule, parameterization: str,
+                          x_noisy: jnp.ndarray, t: jnp.ndarray, raw: jnp.ndarray
+                          ) -> jnp.ndarray:
+    """What is compared against the target. For 'x0' the reference converts the raw
+    network output (trained as eps) to x_recon first (p_loss_diffuse_base,
+    makeup_diffuse.py:83-85; ModifiedX0.apply_model, origin_x0.py:51-68); for 'eps'
+    and 'v' the raw output is the prediction itself."""
+    if parameterization == "x0":
+        return sched.predict_start_from_noise(x_noisy, t, raw)
+    return raw
+
+
+def x_recon_from_output(sched: DiffusionSchedule, parameterization: str,
+                        x_noisy: jnp.ndarray, t: jnp.ndarray, raw: jnp.ndarray
+                        ) -> jnp.ndarray:
+    """x_recon (the fake_sr latent) from the raw network output: eps/x0 →
+    predict_start_from_noise (apply_model return_all, makeup_diffuse.py:169);
+    v → predict_start_from_z_and_v (the v-correct form the torch code lacks)."""
+    if parameterization == "v":
+        return sched.predict_start_from_z_and_v(x_noisy, t, raw)
+    return sched.predict_start_from_noise(x_noisy, t, raw)
 
 
 def makeup_region_losses(
@@ -103,11 +148,13 @@ def simple_diffusion_loss(
     t = jax.random.randint(k2, (B,), t_min, sched.num_timesteps)
     noise = jax.random.normal(k3, z.shape)
     x_noisy = sched.q_sample(z, t, noise)
-    eps = model.apply(params, x_noisy, t, context, hint, method=model.apply_eps)
-    per = _eps_loss(sched, eps, noise, t)
+    raw = model.apply(params, x_noisy, t, context, hint, method=model.apply_eps)
+    out = model_output_for_loss(sched, cfg.parameterization, x_noisy, t, raw)
+    target = diffusion_target(sched, cfg.parameterization, z, noise, t)
+    per = _weighted_mse(sched, out, target, t)
     loss_simple = per.mean()
     loss = cfg.l_simple_weight * loss_simple
-    loss_vlb = (sched.lvlb_weights[t] * jnp.mean((eps - noise) ** 2, axis=(1, 2, 3))).mean()
+    loss_vlb = (sched.lvlb_weights[t] * jnp.mean((out - target) ** 2, axis=(1, 2, 3))).mean()
     loss = loss + cfg.original_elbo_weight * loss_vlb
     return loss, {"loss_simple": loss_simple, "loss_vlb": loss_vlb, "loss": loss}
 
@@ -226,29 +273,44 @@ def composite_loss(
     hint_a = None if hints_a[0] is None else jnp.concatenate(hints_a)
     noise_a = jax.random.normal(keys[5], z_a.shape)
     x_a = sched.q_sample(z_a, t_a, noise_a)
-    eps_a = model.apply(params, x_a, t_a, jnp.tile(ctx, (3, 1, 1)), hint_a,
+    raw_a = model.apply(params, x_a, t_a, jnp.tile(ctx, (3, 1, 1)), hint_a,
                         method=model.apply_eps)
-    per_a = _eps_loss(sched, eps_a, noise_a, t_a)
+    out_a = model_output_for_loss(sched, cfg.parameterization, x_a, t_a, raw_a)
+    target_a = diffusion_target(sched, cfg.parameterization, z_a, noise_a, t_a)
+    per_a = _weighted_mse(sched, out_a, target_a, t_a)
     loss_base = per_a[:B].mean()
     loss_idt_src = per_a[B:2 * B].mean()
     loss_idt_ref = per_a[2 * B:].mean()
 
-    # fake_sr from the base slice (x_recon → decode → clamp → [0,1]); the decode is
+    # fake_sr from the base slice (x_recon → decode → clamp → [0,1]). Reference
+    # behavior (default): the decode is no-grad (generate_image →
+    # decode_first_stage, makeup_diffuse.py:172-177) so fake_sr is DETACHED and the
+    # decode compiles forward-only. With grad_through_fake_sr the decode is
     # rematerialized AND chunked over the batch — the 256² decoder's f32 backward
-    # buffers at batch 6 are ~12G of HLO temps and OOM a 16G chip otherwise
-    fake_sr_z = sched.predict_start_from_noise(x_a[:B], t_a[:B], eps_a[:B])
-    decode = jax.checkpoint(
-        lambda p, z: model.apply(p, z, method=model.decode_latent)
-    )
-    # largest divisor of B not exceeding the requested chunk count (so batch sizes
-    # that don't divide by 3 still get chunked, e.g. B=8 → 2 chunks)
-    chunks = max(c for c in range(1, min(decode_chunks, B) + 1) if B % c == 0)
-    if chunks > 1:
-        zc = fake_sr_z.reshape((chunks, B // chunks) + fake_sr_z.shape[1:])
-        fake_sr = jax.lax.map(lambda z: decode(params, z), zc)
-        fake_sr = fake_sr.reshape((B,) + fake_sr.shape[2:])
+    # buffers at batch 6 are ~12G of HLO temps and OOM a 16G chip otherwise.
+    fake_sr_z = x_recon_from_output(sched, cfg.parameterization, x_a[:B], t_a[:B],
+                                    raw_a[:B])
+    if cfg.grad_through_fake_sr:
+        decode = jax.checkpoint(
+            lambda p, z: model.apply(p, z, method=model.decode_latent)
+        )
+        # largest divisor of B not exceeding the requested chunk count (so batch
+        # sizes that don't divide by 3 still get chunked, e.g. B=8 → 2 chunks)
+        chunks = max(c for c in range(1, min(decode_chunks, B) + 1) if B % c == 0)
+        if chunks > 1:
+            zc = fake_sr_z.reshape((chunks, B // chunks) + fake_sr_z.shape[1:])
+            fake_sr = jax.lax.map(lambda z: decode(params, z), zc)
+            fake_sr = fake_sr.reshape((B,) + fake_sr.shape[2:])
+        else:
+            fake_sr = decode(params, fake_sr_z)
     else:
-        fake_sr = decode(params, fake_sr_z)
+        # full detach (@torch.no_grad semantics): no backward through the decode at
+        # all — not even into the frozen VAE leaves (whose grads, though unused by
+        # the optimizer, would otherwise materialize the decoder backward buffers)
+        fake_sr = jax.lax.stop_gradient(
+            model.apply(params, jax.lax.stop_gradient(fake_sr_z),
+                        method=model.decode_latent)
+        )
     fake_sr = (jnp.clip(fake_sr, -1.0, 1.0) + 1.0) / 2.0
 
     # ---- stage B: (cycle_content ‖ cycle_makeup) in one forward ------------------
@@ -264,9 +326,11 @@ def composite_loss(
     hint_b = None if hints_b[0] is None else jnp.concatenate(hints_b)
     noise_b = jax.random.normal(keys[9], z_b.shape)
     x_b = sched.q_sample(z_b, t_b, noise_b)
-    eps_b = model.apply(params, x_b, t_b, jnp.tile(ctx, (2, 1, 1)), hint_b,
+    raw_b = model.apply(params, x_b, t_b, jnp.tile(ctx, (2, 1, 1)), hint_b,
                         method=model.apply_eps)
-    per_b = _eps_loss(sched, eps_b, noise_b, t_b)
+    out_b = model_output_for_loss(sched, cfg.parameterization, x_b, t_b, raw_b)
+    target_b = diffusion_target(sched, cfg.parameterization, z_b, noise_b, t_b)
+    per_b = _weighted_mse(sched, out_b, target_b, t_b)
     loss_cycle_content = per_b[:B].mean()
     loss_cycle_makeup = per_b[B:].mean()
 

@@ -49,9 +49,9 @@ class CLIPLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x).astype(x.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(x).astype(x.dtype)
         x = x + CLIPAttention(self.heads, self.dtype, name="attn")(h, mask)
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x).astype(x.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln2")(x).astype(x.dtype)
         h = nn.Dense(c * 4, dtype=self.dtype, name="fc1")(h)
         h = quick_gelu(h)
         x = x + nn.Dense(c, dtype=self.dtype, name="fc2")(h)
@@ -78,7 +78,7 @@ class CLIPTextEncoder(nn.Module):
         mask = causal_mask(input_ids.shape[1])
         for i in range(cfg.layers):
             x = CLIPLayer(cfg.heads, self.dtype, name=f"layer_{i}")(x, mask)
-        x = nn.LayerNorm(dtype=jnp.float32, name="final_ln")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="final_ln")(x)
         return x.astype(jnp.float32)
 
 
@@ -103,7 +103,8 @@ def prompt_token_ids(prompt: str, max_length: int = 77) -> jnp.ndarray:
             f"prompt {prompt!r} is not in the fixed-prompt bank; use data/tokenizer.py"
         )
     ids = PROMPT_IDS[prompt]
-    ids = ids + [49407] * (max_length - len(ids))
+    # pad with EOT (the sequence's own last id — HF CLIPTokenizer pad semantics)
+    ids = ids + [ids[-1]] * (max_length - len(ids))
     return jnp.asarray(ids[:max_length], dtype=jnp.int32)[None]
 
 
@@ -119,3 +120,34 @@ def precompute_prompt_bank(encoder_apply, params, max_length: int = 77) -> Dict[
         p: encoder_apply(params, prompt_token_ids(p, max_length))[0]
         for p in PROMPT_IDS
     }
+
+
+def load_context_bank(converted: Dict, encoder_apply=None, params=None,
+                      max_length: int = 77) -> Dict[str, jnp.ndarray]:
+    """Fixed-prompt contexts for a CONVERTED checkpoint pickle.
+
+    Prefers the (77, width) context vectors exported at conversion time
+    (tools/convert_torch_ckpt.export_context_bank); warns if those were encoded
+    from placeholder ids, and warns + falls back to encoding the placeholders when
+    the pickle predates the export — converted production weights with placeholder
+    token ids produce wrong conditioning for the word tokens (the SOT/EOT
+    structure is right, the words are not)."""
+    import warnings
+
+    cb = converted.get("context_bank")
+    if cb is not None:
+        if cb.get("ids_source") == "placeholder":
+            warnings.warn(
+                "context bank was exported from PLACEHOLDER prompt ids — "
+                "re-convert with --bpe-vocab for production-correct conditioning",
+                stacklevel=2,
+            )
+        return {k: jnp.asarray(v) for k, v in cb["bank"].items()}
+    warnings.warn(
+        "converted checkpoint carries no context bank; encoding PLACEHOLDER "
+        "prompt ids with the converted tower — conditioning will be wrong for "
+        "the prompt words. Re-run tools/convert_torch_ckpt.py to export the bank.",
+        stacklevel=2,
+    )
+    assert encoder_apply is not None and params is not None
+    return precompute_prompt_bank(encoder_apply, params, max_length)

@@ -149,13 +149,13 @@ class BasicTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
         x = x + CrossAttention(self.heads, self.dim_head, self.dtype, name="attn1")(
-            nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(x.dtype)
+            nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(x.dtype)
         )
         x = x + CrossAttention(self.heads, self.dim_head, self.dtype, name="attn2")(
-            nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(x.dtype), context
+            nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(x.dtype), context
         )
         x = x + FeedForwardGEGLU(dtype=self.dtype, name="ff")(
-            nn.LayerNorm(dtype=jnp.float32, name="norm3")(x).astype(x.dtype)
+            nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x).astype(x.dtype)
         )
         return x
 

@@ -119,7 +119,12 @@ def _unwindow(x: jnp.ndarray, b: int, h: int, w: int, win: int) -> jnp.ndarray:
 
 class SowAttention(nn.Module):
     """Shifted-overlapped-window attention: two windowed passes (one shifted by
-    win/2 with wrap) averaged — the high-res makeup morph."""
+    win/2) averaged — the high-res makeup morph.
+
+    The shifted pass pads by win/2 instead of rolling, and masks attention to the
+    padded keys, so windows never attend across opposite image borders (true
+    non-wrapping shifted windows — EleGANt's sow semantics, unlike a jnp.roll
+    wrap-around)."""
 
     win: int = 16
     heads: int = 4
@@ -135,20 +140,25 @@ class SowAttention(nn.Module):
         v = nn.Dense(2 * c, dtype=self.dtype, name="to_v")(feat_r * mask_r)
 
         def windowed(q, k, v, shift):
-            if shift:
-                roll = self.win // 2
-                q = jnp.roll(q, (roll, roll), axis=(1, 2))
-                k = jnp.roll(k, (roll, roll), axis=(1, 2))
-                v = jnp.roll(v, (roll, roll), axis=(1, 2))
             d = c // self.heads
+            mask = None
+            hh, ww = h, w
+            if shift:
+                r = self.win // 2
+                pad = ((0, 0), (r, r), (r, r), (0, 0))
+                q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+                hh, ww = h + self.win, w + self.win
+                valid = jnp.pad(jnp.ones((b, h, w, 1), q.dtype), pad)
+                vw = _window(valid, self.win)  # [B·nw, win², 1]
+                mask = (vw[:, None, None, :, 0] > 0)  # keys: padded → masked out
             qw = _window(q, self.win).reshape(-1, self.win**2, self.heads, d)
             kw = _window(k, self.win).reshape(-1, self.win**2, self.heads, d)
-            vw = _window(v, self.win).reshape(-1, self.win**2, self.heads, 2 * d)
-            ow = mha_attention(qw, kw, vw).reshape(-1, self.win**2, 2 * c)
-            o = _unwindow(ow, b, h, w, self.win)
+            vw_ = _window(v, self.win).reshape(-1, self.win**2, self.heads, 2 * d)
+            ow = mha_attention(qw, kw, vw_, mask=mask).reshape(-1, self.win**2, 2 * c)
+            o = _unwindow(ow, b, hh, ww, self.win)
             if shift:
-                roll = self.win // 2
-                o = jnp.roll(o, (-roll, -roll), axis=(1, 2))
+                r = self.win // 2
+                o = o[:, r:-r, r:-r]
             return o
         out = 0.5 * (windowed(q, k, v, False) + windowed(q, k, v, True))
         gamma, beta = jnp.split(out, 2, axis=-1)

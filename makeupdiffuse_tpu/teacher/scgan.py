@@ -121,6 +121,20 @@ class SCGen(nn.Module):
         return self.fuse(content, style, nonmakeup_seg3, nonmakeup_img)
 
 
+def scgan_apply(model: SCGen, params, makeup_img, nonmakeup_img, makeup_seg,
+                nonmakeup_seg) -> jnp.ndarray:
+    """Pure SCGAN teacher forward (Teacher_SCGAN.forward parity, teacher.py:82-93):
+    seg remap + rebound_box on the makeup side, FIEnc/PSEnc/fuse, empty-eye guard.
+    Jit-composable — params are an argument so the train loop can jit this."""
+    seg_r = jax.vmap(lambda s: scgan_component_masks(s, apply_rebound=True))(makeup_seg)
+    seg_s = jax.vmap(lambda s: scgan_component_masks(s, apply_rebound=False))(nonmakeup_seg)
+    out = model.apply(params, makeup_img, nonmakeup_img, seg_r, seg_s)
+    # empty-eye guard (teacher.py:72-73): no visible reference eyes → identity
+    has_eyes = jnp.any(seg_r[..., 2] > 0, axis=(1, 2))[:, None, None, None]
+    out = jnp.where(has_eyes, out, nonmakeup_img)
+    return jnp.clip(out, -1.0, 1.0)
+
+
 class SCGanTeacher:
     """teacher_type 'SCGAN': forward(makeup_img, nonmakeup_img, makeup_seg,
     nonmakeup_seg) parity with Teacher_SCGAN.forward (teacher.py:82-93) — note the
@@ -136,13 +150,8 @@ class SCGanTeacher:
         self.params = params
 
     def forward(self, makeup_img, nonmakeup_img, makeup_seg, nonmakeup_seg):
-        seg_r = jax.vmap(lambda s: scgan_component_masks(s, apply_rebound=True))(makeup_seg)
-        seg_s = jax.vmap(lambda s: scgan_component_masks(s, apply_rebound=False))(nonmakeup_seg)
-        out = self.model.apply(self.params, makeup_img, nonmakeup_img, seg_r, seg_s)
-        # empty-eye guard (teacher.py:72-73): no visible reference eyes → identity
-        has_eyes = jnp.any(seg_r[..., 2] > 0, axis=(1, 2))[:, None, None, None]
-        out = jnp.where(has_eyes, out, nonmakeup_img)
-        return jnp.clip(out, -1.0, 1.0)
+        return scgan_apply(self.model, self.params, makeup_img, nonmakeup_img,
+                           makeup_seg, nonmakeup_seg)
 
     # Teacher protocol (model-facing call in get_target, makeup_teacher.py:49)
     def __call__(self, makeup_img, nonmakeup_img, makeup_seg, nonmakeup_seg,

@@ -358,6 +358,52 @@ def convert_clip(state: Mapping[str, Any],
     return tree
 
 
+def convert_clip_hf(state: Mapping[str, Any]) -> Dict:
+    """HF ``CLIPTextModel.state_dict()`` (keys ``text_model.…``) → our CLIP tree.
+
+    The reference loads the same tower through FrozenCLIPEmbedder
+    ("openai/clip-vit-large-patch14"); this entry accepts the standalone HF dump so
+    the text encoder can be converted without a full ControlLDM checkpoint."""
+    return convert_clip(state, torch_prefix="text_model")
+
+
+def export_context_bank(model, params, tokenize=None, max_length: int = 77
+                        ) -> Dict[str, Any]:
+    """Encode the reference's three fixed prompts with the CONVERTED tower and
+    return {'bank': {prompt: (77, width) np.ndarray}, 'ids_source': ...}.
+
+    The reference only ever conditions on "makeup transfer" (datasets.py:633),
+    "makeup style transfer" (:118) and "" (the CFG unconditional), so exporting the
+    three context vectors at conversion time removes the tokenizer from the
+    deployment path entirely. `tokenize` is a real str→ids callable (e.g.
+    data/tokenizer.CLIPTokenizer.encode when a BPE vocab asset exists); without it
+    the placeholder PROMPT_IDS are used and `ids_source` says so, so loaders can
+    warn instead of silently conditioning on wrong tokens."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.clip_text import PROMPT_IDS, prompt_token_ids
+
+    if tokenize is not None:
+        ids = {p: list(tokenize(p)) for p in PROMPT_IDS}
+        ids_source = "tokenizer"
+    else:
+        ids = {p: None for p in PROMPT_IDS}
+        ids_source = "placeholder"
+
+    enc = jax.jit(lambda p, i: model.apply(p, i, method=model.encode_text))
+    bank: Dict[str, np.ndarray] = {}
+    for prompt in PROMPT_IDS:
+        if ids[prompt] is not None:
+            row = ids[prompt][:max_length]
+            row = row + [row[-1]] * (max_length - len(row))
+            tok = jnp.asarray(row, jnp.int32)[None]
+        else:
+            tok = prompt_token_ids(prompt, max_length)
+        bank[prompt] = np.asarray(enc(params, tok)[0])
+    return {"bank": bank, "ids_source": ids_source}
+
+
 def convert_state_dict(state: Mapping[str, Any], cfg: ModelConfig) -> Dict[str, Any]:
     """Full ControlLDM state dict → {'params': {...}} for ControlledLDM."""
     unet = convert_unet_like(state, "model.diffusion_model", cfg, is_control=False)
@@ -587,6 +633,11 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("ckpt", help="torch .ckpt/.pth (ControlLDM state dict)")
     ap.add_argument("out", help="output params file (pickle of numpy pytree)")
+    ap.add_argument("--bpe-vocab", default=None,
+                    help="CLIP bpe_simple_vocab_16e6.txt.gz — enables REAL prompt "
+                         "ids for the exported context bank")
+    ap.add_argument("--no-context-bank", action="store_true",
+                    help="skip encoding the fixed-prompt context bank")
     args = ap.parse_args()
     cfg = ModelConfig()
     state = load_torch_checkpoint(args.ckpt)
@@ -594,6 +645,25 @@ def main():
     un = converted.pop("__unconsumed__")
     if un:
         print(f"WARNING: {len(un)} unconsumed keys, e.g. {un[:5]}")
+    if not args.no_context_bank:
+        # context-vector export: production inference never needs a tokenizer
+        from ..models.controlled_ldm import ControlledLDM
+
+        tokenize = None
+        if args.bpe_vocab:
+            from ..data.tokenizer import CLIPTokenizer
+
+            tokenize = CLIPTokenizer(args.bpe_vocab).encode
+        model = ControlledLDM(cfg)
+        import jax
+
+        converted["context_bank"] = export_context_bank(
+            model, {"params": converted["params"]}, tokenize=tokenize,
+            max_length=cfg.clip.max_length,
+        )
+        if converted["context_bank"]["ids_source"] == "placeholder":
+            print("WARNING: context bank encoded from PLACEHOLDER prompt ids — "
+                  "supply --bpe-vocab for production-correct conditioning")
     with open(args.out, "wb") as f:
         pickle.dump(converted, f)
     print(f"wrote {args.out}")

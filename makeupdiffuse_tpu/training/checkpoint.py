@@ -37,6 +37,8 @@ class CheckpointManager:
             step=state.step, params=state.params, opt_state=state.opt_state,
             t_min=state.t_min,
         )
+        if state.ema_params is not None:  # use_ema runs keep EMA across resume
+            payload["ema_params"] = state.ema_params
         self.mngr.save(step, args=ocp.args.StandardSave(payload))
         return True
 
@@ -52,10 +54,13 @@ class CheckpointManager:
             step=state.step, params=state.params, opt_state=state.opt_state,
             t_min=state.t_min,
         )
+        if state.ema_params is not None:
+            template["ema_params"] = state.ema_params
         restored = self.mngr.restore(step, args=ocp.args.StandardRestore(template))
         return state.replace(
             step=restored["step"], params=restored["params"],
             opt_state=restored["opt_state"], t_min=restored["t_min"],
+            ema_params=restored.get("ema_params", state.ema_params),
         )
 
     def wait(self) -> None:

@@ -21,7 +21,8 @@ from ..config import Config
 from ..core.schedule import DiffusionSchedule
 from ..models.controlled_ldm import ControlledLDM
 from ..parallel.mesh import make_mesh, replicate, shard_batch
-from ..teacher.pgt import PGTTeacher, compose_pgt
+from ..teacher.base import TARGET_BATCH_KEYS, build_teacher, make_target_fn
+from ..teacher.pgt import PGTTeacher
 from .checkpoint import CheckpointManager
 from .logging import ImageLogger, MetricsLogger
 from .profiling import StepTimer
@@ -30,29 +31,33 @@ from .train_step import make_train_step
 
 
 def prepare_model_batch(batch: Dict[str, np.ndarray], context: jnp.ndarray,
-                        pgt_alphas: jnp.ndarray, teacher_type: str = "ELEGANT_PGT"
-                        ) -> Dict[str, jnp.ndarray]:
+                        pgt_alphas: jnp.ndarray, teacher_type: str = "ELEGANT_PGT",
+                        target_fn=None, teacher_params=None,
+                        is_fixbkgrd: bool = False) -> Dict[str, jnp.ndarray]:
     """Host batch + teacher targets → composite-loss batch.
 
-    For ELEGANT_PGT the teacher target IS the PGT (diffusion_makeup.py:69-77), so
-    pgt_sr == makeup_pgt; for KEEP the target is the source and the PGT side channel
-    is still the histogram compose (:78-93)."""
-    image_s = jnp.asarray(batch["nonmakeup_img"])
-    image_r = jnp.asarray(batch["makeup_img"])
-    mask_s = jnp.asarray(batch["mask_s_full"])
-    mask_r = jnp.asarray(batch["mask_r_full"])
-    makeup_pgt = compose_pgt(image_s, image_r, mask_s, mask_r, pgt_alphas)
-    if teacher_type == "KEEP":
-        pgt_sr = image_s
-    else:  # ELEGANT_PGT default
-        pgt_sr = makeup_pgt
+    Dispatches get_target over ALL four reference teacher_type strings
+    (diffusion_makeup.py:51-94): for ELEGANT_PGT the teacher target IS the PGT so
+    pgt_sr == makeup_pgt; for KEEP the target is the source; ELEGANT/SCGAN run the
+    frozen GAN teacher networks. `target_fn`/`teacher_params` (from
+    `make_target_fn`/`build_teacher`) are built once by `fit` and jitted; when
+    omitted they are constructed on the fly (tests / one-off calls)."""
+    if target_fn is None:
+        teacher = None
+        if teacher_type in ("ELEGANT", "SCGAN"):
+            teacher = build_teacher(teacher_type,
+                                    image_size=batch["nonmakeup_img"].shape[1])
+            teacher_params = teacher.params
+        target_fn = make_target_fn(teacher_type, teacher, is_fixbkgrd)
+    tb = {k: jnp.asarray(batch[k]) for k in TARGET_BATCH_KEYS[teacher_type]}
+    pgt_sr, makeup_pgt = target_fn(tb, pgt_alphas, teacher_params)
     return dict(
         src_img=jnp.asarray(batch["src_img"]),
         ref_img=jnp.asarray(batch["ref_img"]),
-        nonmakeup_img=image_s,
-        makeup_img=image_r,
+        nonmakeup_img=tb["nonmakeup_img"],
+        makeup_img=tb["makeup_img"],
         nonmakeup_seg=jnp.asarray(batch["nonmakeup_seg"]),
-        mask_s_full=mask_s,
+        mask_s_full=tb["mask_s_full"],
         pgt_sr=pgt_sr,
         makeup_pgt=makeup_pgt,
         context=context,
@@ -72,16 +77,26 @@ def fit(
     on_epoch_end: Optional[Callable[[int, TrainState], None]] = None,
     sample_log: bool = False,
     sample_steps: int = 50,
+    uncond_context_fn: Optional[Callable[[int], jnp.ndarray]] = None,
 ) -> TrainState:
     """Run the fit loop. `data(epoch)` yields host batches; `context_fn(b)` returns
-    the CLIP context for a batch of size b (fixed-prompt bank in production)."""
+    the CLIP context for a batch of size b (fixed-prompt bank in production);
+    `uncond_context_fn(b)` the encoded empty prompt for CFG sample logging
+    (get_unconditional_conditioning parity — zeros fallback when absent)."""
     m = cfg.model
     sched = DiffusionSchedule.create(
         timesteps=m.timesteps, linear_start=m.linear_start, linear_end=m.linear_end,
         parameterization=m.parameterization,
     )
     step_fn = make_train_step(model, sched, m, donate=True)
-    teacher = PGTTeacher()
+    teacher = PGTTeacher()  # annealing state for the makeup_pgt side channel
+    gan_teacher, teacher_params = None, None
+    if m.teacher_type in ("ELEGANT", "SCGAN"):
+        # the production teachers are frozen networks built once
+        # (teacher.py:115-140 / :9-23); weights arrive via tools/convert_teacher_ckpt
+        gan_teacher = build_teacher(m.teacher_type, image_size=m.image_size)
+        teacher_params = gan_teacher.params
+    target_fn = jax.jit(make_target_fn(m.teacher_type, gan_teacher, m.is_fixbkgrd))
     log_dir = log_dir or cfg.train.log_dir
     metrics_log = MetricsLogger(log_dir)
     image_log = ImageLogger(log_dir, every_steps=cfg.train.logger_freq)
@@ -105,7 +120,8 @@ def fit(
             rng, step_key = jax.random.split(rng)
             b = host_batch["src_img"].shape[0]
             mb = prepare_model_batch(
-                host_batch, context_fn(b), teacher.alphas(), m.teacher_type
+                host_batch, context_fn(b), teacher.alphas(), m.teacher_type,
+                target_fn=target_fn, teacher_params=teacher_params,
             )
             if mesh is not None:
                 mb = shard_batch(mesh, mb)
@@ -133,10 +149,14 @@ def fit(
 
                     tables = DDIMTables.create(sched, num_steps=sample_steps)
                     n = min(4, mb["src_img"].shape[0])
+                    # CFG uncond = encoded '' prompt (get_unconditional_conditioning,
+                    # cldm semantics); zeros only as a last-resort fallback
+                    uc = (uncond_context_fn(n) if uncond_context_fn is not None
+                          else jnp.zeros_like(mb["context"][:n]))
                     arts = transfer_artifacts(
                         model, state.params, sched, tables,
                         mb["pgt_sr"][:n], mb["src_img"][:n], mb["ref_img"][:n],
-                        mb["context"][:n], jnp.zeros_like(mb["context"][:n]),
+                        mb["context"][:n], uc,
                         step_key, t_min=int(state.t_min),
                     )
                     image_log.log_images(

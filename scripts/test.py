@@ -44,9 +44,11 @@ def main():
         model, params = init_model(m, jax.random.PRNGKey(0))
     else:
         model, params = fast_init_model(m)
+    loaded = None
     if args.params:
         with open(args.params, "rb") as f:
-            params = {"params": pickle.load(f)["params"]}
+            loaded = pickle.load(f)
+        params = {"params": loaded["params"]}
         params = jax.tree_util.tree_map(jnp.asarray, params)
 
     sched = DiffusionSchedule.create(timesteps=m.timesteps, linear_start=m.linear_start,
@@ -54,10 +56,13 @@ def main():
     tables = DDIMTables.create(sched, num_steps=args.ddim_steps)
     teacher = PGTTeacher()
 
-    bank = precompute_prompt_bank(
-        lambda p, ids: model.apply(p, ids, method=model.encode_text), params,
-        max_length=m.clip.max_length,
-    )
+    enc = lambda p, ids: model.apply(p, ids, method=model.encode_text)
+    if loaded is not None:
+        from makeupdiffuse_tpu.models.clip_text import load_context_bank
+
+        bank = load_context_bank(loaded, enc, params, max_length=m.clip.max_length)
+    else:
+        bank = precompute_prompt_bank(enc, params, max_length=m.clip.max_length)
     writer = TestArtifactWriter(args.saved_dir, args.model_name)
 
     if args.synthetic:

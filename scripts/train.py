@@ -51,6 +51,7 @@ def main():
         model, params = init_model(m, jax.random.PRNGKey(cfg.train.seed))
     else:
         model, params = fast_init_model(m, seed=cfg.train.seed)
+    loaded = None
     if args.init_params:
         with open(args.init_params, "rb") as f:
             loaded = pickle.load(f)
@@ -83,15 +84,24 @@ def main():
             state = ckpt.restore(state)
             print(f"resumed from step {int(state.step)} (t_min={int(state.t_min)})")
 
-    # context: fixed-prompt bank ("makeup transfer", datasets.py:633)
-    bank = precompute_prompt_bank(
-        lambda p, ids: model.apply(p, ids, method=model.encode_text), params,
-        max_length=m.clip.max_length,
-    )
+    # context: fixed-prompt bank ("makeup transfer", datasets.py:633). Converted
+    # checkpoints carry the context vectors exported at conversion time; otherwise
+    # (fresh/fast-init weights) encode the fixed prompts with the live tower.
+    enc = lambda p, ids: model.apply(p, ids, method=model.encode_text)
+    if loaded is not None:
+        from makeupdiffuse_tpu.models.clip_text import load_context_bank
+
+        bank = load_context_bank(loaded, enc, params, max_length=m.clip.max_length)
+    else:
+        bank = precompute_prompt_bank(enc, params, max_length=m.clip.max_length)
     ctx_row = bank["makeup transfer"]
+    uncond_row = bank[""]  # encoded empty prompt — the CFG unconditional
 
     def context_fn(b):
         return jnp.tile(ctx_row[None], (b, 1, 1))
+
+    def uncond_context_fn(b):
+        return jnp.tile(uncond_row[None], (b, 1, 1))
 
     steps = args.steps_per_epoch or cfg.train.steps_per_epoch or None
     if args.synthetic:
@@ -114,7 +124,7 @@ def main():
                                seed=cfg.train.seed + epoch)
 
     state = fit(cfg, model, state, data, context_fn, log_dir=log_dir,
-                num_epochs=args.epochs)
+                num_epochs=args.epochs, uncond_context_fn=uncond_context_fn)
     print(f"done at step {int(state.step)}; logs in {log_dir}")
 
 

@@ -20,5 +20,27 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# persistent compilation cache: the suite is compile-dominated (tiny models, many
+# grad graphs) — cached XLA artifacts cut repeat runs from ~30 min to minutes
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
 assert len(jax.devices()) == 8
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def tiny_model_session():
+    """Session-shared tiny (Config, model, params) — the full-model init is the
+    single most expensive fixture; share it across modules (treat params as
+    read-only; copy before donating)."""
+    from makeupdiffuse_tpu.config import tiny_test_config
+    from makeupdiffuse_tpu.models.controlled_ldm import init_model
+
+    cfg = tiny_test_config()
+    model, params = init_model(cfg.model, jax.random.PRNGKey(0))
+    return cfg, model, params

@@ -1,0 +1,342 @@
+"""Composed-model converter proof (VERDICT r1 item 5).
+
+Builds a synthetic torch-layout state_dict for the FULL ControlLDM topology (exact
+SD-style key set, random values), converts it with tools/convert_torch_ckpt, and
+checks the flax model's outputs against an independent torch-semantics ORACLE that
+consumes the torch state_dict directly (NCHW convs / F.group_norm / F.layer_norm /
+softmax attention / GEGLU — the op sequence of cldm's ControlNet +
+ControlledUnetModel and HF's CLIPTextModel, re-derived from
+/root/reference/diffmodels/base_diffusion_makeup.yaml:52-110 semantics).
+
+This is the strongest ≥40dB-PSNR proxy available without real checkpoints: if the
+converted flax model and the torch-math oracle agree on the full apply_eps (ControlNet
+hint stem → zero convs → UNet with control injection) and the CLIP tower, then weight
+conversion + layout + norm/eps/activation semantics are all right.
+"""
+import math
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from makeupdiffuse_tpu.tools.convert_torch_ckpt import (
+    convert_clip_hf,
+    convert_state_dict,
+    export_context_bank,
+    export_torch_names,
+)
+
+torch.set_grad_enabled(False)
+
+
+def _randomized(params, seed=0):
+    leaves, treedef = jax.tree_util.tree_flatten(params["params"])
+    rng = np.random.RandomState(seed)
+    leaves = [jnp.asarray(rng.normal(scale=0.08, size=l.shape).astype(np.float32))
+              for l in leaves]
+    return {"params": jax.tree_util.tree_unflatten(treedef, leaves)}
+
+
+class TorchOracle:
+    """torch-semantics forward over a torch-layout ControlLDM state dict."""
+
+    HINT_STRIDES = (1, 1, 2, 1, 2, 1, 2)
+
+    def __init__(self, sd, cfg):
+        self.sd = {k: torch.from_numpy(np.asarray(v)).float() for k, v in sd.items()}
+        self.cfg = cfg
+
+    def conv(self, h, name, stride=1):
+        w = self.sd[name + ".weight"]
+        pad = (w.shape[-1] - 1) // 2
+        return F.conv2d(h, w, self.sd[name + ".bias"], stride=stride, padding=pad)
+
+    def gn(self, h, name, eps=1e-5):
+        c = h.shape[1]
+        groups = 32 if c % 32 == 0 else math.gcd(c, 32)
+        return F.group_norm(h, groups, self.sd[name + ".weight"],
+                            self.sd[name + ".bias"], eps)
+
+    def ln(self, h, name):
+        return F.layer_norm(h, (h.shape[-1],), self.sd[name + ".weight"],
+                            self.sd[name + ".bias"], 1e-5)
+
+    def lin(self, h, name, bias=True):
+        return F.linear(h, self.sd[name + ".weight"],
+                        self.sd.get(name + ".bias") if bias else None)
+
+    def time_emb(self, t, pfx, dim):
+        half = dim // 2
+        freqs = torch.exp(-math.log(10000.0) * torch.arange(half).float() / half)
+        args = t.float()[:, None] * freqs[None]
+        emb = torch.cat([torch.cos(args), torch.sin(args)], -1)
+        emb = F.silu(self.lin(emb, pfx + ".time_embed.0"))
+        return self.lin(emb, pfx + ".time_embed.2")
+
+    def resblock(self, h, emb, pfx):
+        x = h
+        h = self.conv(F.silu(self.gn(h, pfx + ".in_layers.0")), pfx + ".in_layers.2")
+        h = h + self.lin(F.silu(emb), pfx + ".emb_layers.1")[:, :, None, None]
+        h = self.conv(F.silu(self.gn(h, pfx + ".out_layers.0")), pfx + ".out_layers.3")
+        if (pfx + ".skip_connection.weight") in self.sd:
+            x = self.conv(x, pfx + ".skip_connection")
+        return x + h
+
+    def attn(self, x, ctx, pfx, heads):
+        q = self.lin(x, pfx + ".to_q", bias=False)
+        k = self.lin(ctx, pfx + ".to_k", bias=False)
+        v = self.lin(ctx, pfx + ".to_v", bias=False)
+        b, nq, c = q.shape
+        d = c // heads
+        q = q.view(b, nq, heads, d).permute(0, 2, 1, 3)
+        k = k.view(b, -1, heads, d).permute(0, 2, 1, 3)
+        v = v.view(b, -1, heads, d).permute(0, 2, 1, 3)
+        a = torch.softmax(q @ k.transpose(-1, -2) / math.sqrt(d), -1)
+        o = (a @ v).permute(0, 2, 1, 3).reshape(b, nq, c)
+        return self.lin(o, pfx + ".to_out.0")
+
+    def spatial_transformer(self, h, ctx, pfx, heads):
+        x_in = h
+        b, c, hh, ww = h.shape
+        h = self.conv(self.gn(h, pfx + ".norm", eps=1e-6), pfx + ".proj_in")
+        h = h.permute(0, 2, 3, 1).reshape(b, hh * ww, c)
+        p = pfx + ".transformer_blocks.0"
+        hn = self.ln(h, p + ".norm1")
+        h = h + self.attn(hn, hn, p + ".attn1", heads)
+        h = h + self.attn(self.ln(h, p + ".norm2"), ctx, p + ".attn2", heads)
+        xg = self.lin(self.ln(h, p + ".norm3"), p + ".ff.net.0.proj")
+        x1, gate = xg.chunk(2, -1)
+        h = h + self.lin(x1 * F.gelu(gate), p + ".ff.net.2")
+        h = h.reshape(b, hh, ww, c).permute(0, 3, 1, 2)
+        return self.conv(h, pfx + ".proj_out") + x_in
+
+    def _down_path(self, x, emb, ctx, pfx, guided_hint=None):
+        """Shared encoder loop; returns (h, saved-activations, ds)."""
+        u = self.cfg.unet
+        h = self.conv(x, f"{pfx}.input_blocks.0.0")
+        if guided_hint is not None:
+            h = h + guided_hint  # added before the first save (cldm semantics)
+        saved = [h]
+        ds, idx = 1, 1
+        n = len(u.channel_mult)
+        for level in range(n):
+            for i in range(u.num_res_blocks):
+                h = self.resblock(h, emb, f"{pfx}.input_blocks.{idx}.0")
+                if ds in u.attention_resolutions:
+                    h = self.spatial_transformer(
+                        h, ctx, f"{pfx}.input_blocks.{idx}.1", u.num_heads)
+                saved.append(h)
+                idx += 1
+            if level != n - 1:
+                h = self.conv(h, f"{pfx}.input_blocks.{idx}.0.op", stride=2)
+                saved.append(h)
+                idx += 1
+                ds *= 2
+        return h, saved, ds
+
+    def controlnet(self, x, hint, t, ctx):
+        u = self.cfg.unet
+        pfx = "control_model"
+        emb = self.time_emb(t, pfx, u.model_channels)
+        g = hint
+        for i, s in enumerate(self.HINT_STRIDES):
+            g = F.silu(self.conv(g, f"{pfx}.input_hint_block.{2 * i}", stride=s))
+        g = self.conv(g, f"{pfx}.input_hint_block.14")
+        h, saved, _ = self._down_path(x, emb, ctx, pfx, guided_hint=g)
+        outs = [self.conv(s, f"{pfx}.zero_convs.{i}.0")
+                for i, s in enumerate(saved)]
+        h = self.resblock(h, emb, f"{pfx}.middle_block.0")
+        h = self.spatial_transformer(h, ctx, f"{pfx}.middle_block.1", u.num_heads)
+        h = self.resblock(h, emb, f"{pfx}.middle_block.2")
+        outs.append(self.conv(h, f"{pfx}.middle_block_out.0"))
+        return outs
+
+    def unet(self, x, t, ctx, control):
+        u = self.cfg.unet
+        pfx = "model.diffusion_model"
+        emb = self.time_emb(t, pfx, u.model_channels)
+        h, hs, ds = self._down_path(x, emb, ctx, pfx)
+        h = self.resblock(h, emb, f"{pfx}.middle_block.0")
+        h = self.spatial_transformer(h, ctx, f"{pfx}.middle_block.1", u.num_heads)
+        h = self.resblock(h, emb, f"{pfx}.middle_block.2")
+        control = list(control)
+        h = h + control.pop()
+        n = len(u.channel_mult)
+        bi = 0
+        for level in reversed(range(n)):
+            for i in range(u.num_res_blocks + 1):
+                skip = hs.pop() + control.pop()
+                h = torch.cat([h, skip], dim=1)
+                h = self.resblock(h, emb, f"{pfx}.output_blocks.{bi}.0")
+                slot = 1
+                if ds in u.attention_resolutions:
+                    h = self.spatial_transformer(
+                        h, ctx, f"{pfx}.output_blocks.{bi}.1", u.num_heads)
+                    slot = 2
+                if level > 0 and i == u.num_res_blocks:
+                    h = F.interpolate(h, scale_factor=2, mode="nearest")
+                    h = self.conv(h, f"{pfx}.output_blocks.{bi}.{slot}.conv")
+                    ds //= 2
+                bi += 1
+        h = F.silu(self.gn(h, f"{pfx}.out.0"))
+        return self.conv(h, f"{pfx}.out.2")
+
+    def apply_eps(self, x, hint, t, ctx):
+        control = self.controlnet(x, hint, t, ctx)
+        return self.unet(x, t, ctx, control)
+
+    def clip(self, ids):
+        pfx = "cond_stage_model.transformer.text_model"
+        c = self.cfg.clip
+        tok = self.sd[f"{pfx}.embeddings.token_embedding.weight"][ids]
+        pos = self.sd[f"{pfx}.embeddings.position_embedding.weight"][: ids.shape[1]]
+        x = tok + pos[None]
+        n = ids.shape[1]
+        causal = torch.full((n, n), float("-inf")).triu(1)
+        for li in range(c.layers):
+            p = f"{pfx}.encoder.layers.{li}"
+            h = self.ln(x, p + ".layer_norm1")
+            q = self.lin(h, p + ".self_attn.q_proj")
+            k = self.lin(h, p + ".self_attn.k_proj")
+            v = self.lin(h, p + ".self_attn.v_proj")
+            b, nq, w = q.shape
+            d = w // c.heads
+            q = q.view(b, nq, c.heads, d).permute(0, 2, 1, 3)
+            k = k.view(b, nq, c.heads, d).permute(0, 2, 1, 3)
+            v = v.view(b, nq, c.heads, d).permute(0, 2, 1, 3)
+            a = torch.softmax(q @ k.transpose(-1, -2) / math.sqrt(d) + causal, -1)
+            o = (a @ v).permute(0, 2, 1, 3).reshape(b, nq, w)
+            x = x + self.lin(o, p + ".self_attn.out_proj")
+            h = self.ln(x, p + ".layer_norm2")
+            h = self.lin(h, p + ".mlp.fc1")
+            h = h * torch.sigmoid(1.702 * h)  # quick_gelu
+            x = x + self.lin(h, p + ".mlp.fc2")
+        return self.ln(x, pfx + ".final_layer_norm")
+
+
+@pytest.fixture(scope="module")
+def converted(tiny_model_session):
+    cfg, model, params = tiny_model_session
+    p = _randomized(params)
+    torch_sd = export_torch_names(p["params"], cfg.model)
+    back = convert_state_dict(torch_sd, cfg.model)
+    assert not back["__unconsumed__"]
+    return cfg, model, torch_sd, {"params": back["params"]}
+
+
+def _nchw(a):
+    return torch.from_numpy(np.asarray(a)).float().permute(0, 3, 1, 2)
+
+
+def test_composed_apply_eps_matches_torch_oracle(converted):
+    """Converted flax ControlNet+UNet eps == torch-math oracle on the same torch
+    state dict (full composed forward, control injection included)."""
+    cfg, model, torch_sd, params = converted
+    m = cfg.model
+    rng = np.random.RandomState(1)
+    b, hlat, H = 2, m.latent_size, m.image_size
+    x = rng.normal(size=(b, hlat, hlat, m.latent_channels)).astype(np.float32)
+    hint = rng.uniform(0, 1, (b, H, H, m.control.hint_channels)).astype(np.float32)
+    t = np.asarray([7, 421], np.int32)
+    ctx = rng.normal(size=(b, m.clip.max_length, m.unet.context_dim)).astype(np.float32)
+
+    got = model.apply(params, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx),
+                      jnp.asarray(hint), method=model.apply_eps)
+    oracle = TorchOracle(torch_sd, m)
+    want = oracle.apply_eps(_nchw(x), _nchw(hint), torch.from_numpy(t), torch.from_numpy(ctx))
+    want = want.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-4)
+
+
+def test_unet_no_control_matches_oracle(converted):
+    """hint=None path (NoControlModel, diffusion_makeup.py:414-437)."""
+    cfg, model, torch_sd, params = converted
+    m = cfg.model
+    rng = np.random.RandomState(2)
+    b, hlat = 2, m.latent_size
+    x = rng.normal(size=(b, hlat, hlat, m.latent_channels)).astype(np.float32)
+    t = np.asarray([999, 0], np.int32)
+    ctx = rng.normal(size=(b, m.clip.max_length, m.unet.context_dim)).astype(np.float32)
+    got = model.apply(params, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx), None,
+                      method=model.apply_eps)
+    oracle = TorchOracle(torch_sd, m)
+    # control = zeros of the right shapes == no control for the additive injection
+    ctrl = oracle.controlnet(_nchw(x), torch.zeros(b, m.control.hint_channels,
+                                                   m.image_size, m.image_size),
+                             torch.from_numpy(t), torch.from_numpy(ctx))
+    ctrl = [torch.zeros_like(c) for c in ctrl]
+    want = oracle.unet(_nchw(x), torch.from_numpy(t), torch.from_numpy(ctx), ctrl)
+    want = want.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-4)
+
+
+def test_clip_tower_matches_oracle_and_bank(converted, monkeypatch):
+    """Converted CLIP tower == torch oracle, and the exported context bank contains
+    exactly the tower's outputs on the fixed prompts (VERDICT r1 item 4)."""
+    from makeupdiffuse_tpu.models import clip_text
+    from makeupdiffuse_tpu.models.clip_text import prompt_token_ids
+
+    cfg, model, torch_sd, params = converted
+    m = cfg.model
+    # tiny vocab (256): substitute in-range ids with the same SOT/word/EOT structure
+    monkeypatch.setattr(clip_text, "PROMPT_IDS", {
+        "": [250, 251],
+        "makeup transfer": [250, 17, 92, 251],
+        "makeup style transfer": [250, 17, 63, 92, 251],
+    })
+    ids = np.stack([np.asarray(prompt_token_ids(p, m.clip.max_length))[0]
+                    for p in clip_text.PROMPT_IDS])
+    got = model.apply(params, jnp.asarray(ids), method=model.encode_text)
+    oracle = TorchOracle(torch_sd, m)
+    want = oracle.clip(torch.from_numpy(ids.astype(np.int64))).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-4)
+
+    bank = export_context_bank(model, params, max_length=m.clip.max_length)
+    assert bank["ids_source"] == "placeholder"
+    for i, p in enumerate(clip_text.PROMPT_IDS):
+        np.testing.assert_allclose(bank["bank"][p], want[i], rtol=5e-4, atol=5e-4)
+
+
+def test_convert_clip_hf_entry(converted):
+    """HF-standalone CLIPTextModel dump (text_model.* keys) converts to the same
+    tree as the ControlLDM-embedded tower."""
+    from makeupdiffuse_tpu.tools.convert_torch_ckpt import convert_clip
+
+    cfg, model, torch_sd, params = converted
+    pfx = "cond_stage_model.transformer.text_model."
+    hf_sd = {"text_model." + k[len(pfx):]: v for k, v in torch_sd.items()
+             if k.startswith(pfx)}
+    via_hf = convert_clip_hf(hf_sd)
+    via_ldm = convert_clip(torch_sd)
+    via_hf.pop("__consumed__"), via_ldm.pop("__consumed__")
+    fa = flax.traverse_util.flatten_dict(via_hf, sep="/")
+    fb = flax.traverse_util.flatten_dict(via_ldm, sep="/")
+    assert set(fa) == set(fb)
+    for k in fa:
+        np.testing.assert_array_equal(np.asarray(fa[k]), np.asarray(fb[k]), err_msg=k)
+
+
+def test_load_context_bank_warns_on_placeholder(converted):
+    import warnings
+
+    from makeupdiffuse_tpu.models.clip_text import load_context_bank
+
+    cfg, model, torch_sd, params = converted
+    m = cfg.model
+    cb = export_context_bank(model, params, max_length=m.clip.max_length)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        bank = load_context_bank({"context_bank": cb})
+        assert any("PLACEHOLDER" in str(x.message) for x in w)
+    assert set(bank) == set(cb["bank"])
+    # no bank in the pickle → warn + fall back to encoding placeholders
+    enc = lambda p, i: model.apply(p, i, method=model.encode_text)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        bank2 = load_context_bank({}, enc, params, max_length=m.clip.max_length)
+        assert any("no context bank" in str(x.message) for x in w)
+    assert set(bank2) == set(bank)

@@ -20,10 +20,9 @@ from makeupdiffuse_tpu.tools.convert_torch_ckpt import (
 
 
 @pytest.fixture(scope="module")
-def setup():
-    cfg = tiny_test_config().model
-    model, params = init_model(cfg, jax.random.PRNGKey(0))
-    return cfg, params
+def setup(tiny_model_session):
+    cfg, model, params = tiny_model_session
+    return cfg.model, params
 
 
 def test_roundtrip_exact(setup):

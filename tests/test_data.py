@@ -117,6 +117,40 @@ def test_data_loader_batches(fake_mt_root):
         assert b["src_img"].shape == (2, 64, 64, 3)
 
 
+def test_data_loader_deterministic_across_workers(fake_mt_root):
+    """Same seed ⇒ identical batch sequence, independent of worker count and
+    thread scheduling (VERDICT r1 item 7)."""
+    ds = MTDataset(fake_mt_root, img_size=64, seed=5)
+    runs = []
+    for workers in (1, 2, 2):
+        bs = list(data_loader(ds, batch_size=2, num_steps=4, num_workers=workers,
+                              seed=9))
+        runs.append(bs)
+    for other in runs[1:]:
+        for a, b in zip(runs[0], other):
+            for k in a:
+                if isinstance(a[k], list):
+                    assert a[k] == b[k], k
+                else:
+                    np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    # a different loader seed changes the sequence
+    diff = list(data_loader(ds, batch_size=2, num_steps=4, num_workers=2, seed=10))
+    assert any(not np.array_equal(runs[0][i]["src_img"], diff[i]["src_img"])
+               for i in range(4))
+
+
+def test_mt_dataset_index_driven_items(fake_mt_root):
+    """__getitem__ is a pure function of (dataset seed, index): repeated reads of
+    the same index agree; different indices draw independently."""
+    ds = MTDataset(fake_mt_root, img_size=64, seed=2)
+    a1, a2 = ds[7], ds[7]
+    for k in a1:
+        if not isinstance(a1[k], str):
+            np.testing.assert_array_equal(a1[k], a2[k], err_msg=k)
+    many = [ds[i]["src_img"] for i in range(8)]
+    assert any(not np.array_equal(many[0], m) for m in many[1:])
+
+
 def test_fill_circles():
     ds = FillCirclesDataset(size=64, length=10)
     it = ds[3]

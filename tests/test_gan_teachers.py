@@ -76,3 +76,87 @@ def test_registry_dispatch():
     assert isinstance(t2, SCGanTeacher)
     with pytest.raises(ValueError):
         build_teacher("NOPE")
+
+
+def test_teacher_ckpt_roundtrip_elegant():
+    """Manifest/export/convert scaffold (VERDICT r1 item 6): flax → torch-layout
+    state dict → flax is bit-exact, and shape mismatches / missing keys raise."""
+    from makeupdiffuse_tpu.tools.convert_teacher_ckpt import (
+        convert_teacher_state_dict,
+        export_teacher_torch_names,
+        teacher_key_manifest,
+    )
+
+    t = EleGANtTeacher(ch=8, image_size=64, diff_channels=8)
+    # randomize so zero-init leaves are distinguishable
+    leaves, treedef = jax.tree_util.tree_flatten(t.params)
+    rng = np.random.RandomState(0)
+    leaves = [jnp.asarray(rng.normal(size=l.shape).astype(np.float32)) for l in leaves]
+    p = jax.tree_util.tree_unflatten(treedef, leaves)
+
+    sd = export_teacher_torch_names(p)
+    # torch layout: conv weights OIHW
+    any_conv = next(k for k, v in sd.items() if v.ndim == 4)
+    assert sd[any_conv].shape[-2:] == (3, 3) or sd[any_conv].shape[-2:] == (1, 1)
+    manifest = teacher_key_manifest(p)
+    assert set(manifest) == set(sd)
+
+    back = convert_teacher_state_dict(sd, p)
+    flat_a = jax.tree_util.tree_leaves(p)
+    flat_b = jax.tree_util.tree_leaves(back)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # missing key → loud KeyError
+    sd_missing = dict(sd)
+    sd_missing.pop(any_conv)
+    with pytest.raises(KeyError):
+        convert_teacher_state_dict(sd_missing, p)
+    # wrong shape → assertion
+    sd_bad = dict(sd)
+    sd_bad[any_conv] = np.zeros((1, 1, 3, 3), np.float32)
+    with pytest.raises(AssertionError):
+        convert_teacher_state_dict(sd_bad, p)
+
+
+def test_teacher_ckpt_roundtrip_scgan():
+    from makeupdiffuse_tpu.tools.convert_teacher_ckpt import (
+        convert_teacher_state_dict,
+        export_teacher_torch_names,
+    )
+
+    t = SCGanTeacher(ch=8, image_size=64)
+    leaves, treedef = jax.tree_util.tree_flatten(t.params)
+    rng = np.random.RandomState(1)
+    leaves = [jnp.asarray(rng.normal(size=l.shape).astype(np.float32)) for l in leaves]
+    p = jax.tree_util.tree_unflatten(treedef, leaves)
+    back = convert_teacher_state_dict(export_teacher_torch_names(p), p)
+    for a, b in zip(jax.tree_util.tree_leaves(p), jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sow_attention_no_border_wrap():
+    """The shifted pass must NOT mix opposite image borders: a delta feature at the
+    top edge may not influence the bottom edge output (the jnp.roll wrap-around
+    failure mode this guards against)."""
+    from makeupdiffuse_tpu.teacher.elegant import SowAttention
+
+    H, C = 32, 8
+    att = SowAttention(win=16, heads=2)
+    rng = jax.random.PRNGKey(0)
+    base_r = jax.random.normal(jax.random.PRNGKey(1), (1, H, H, C))
+    diff = jnp.zeros((1, H, H, 4))
+    mask = jnp.ones((1, H, H, 1))
+    feat_s = jax.random.normal(jax.random.PRNGKey(2), (1, H, H, C))
+    params = att.init(rng, feat_s, base_r, diff, diff, mask, mask)
+
+    # perturb the reference's TOP-LEFT corner pixel only
+    pert_r = base_r.at[0, 0, 0].add(100.0)
+    g0, b0 = att.apply(params, feat_s, base_r, diff, diff, mask, mask)
+    g1, b1 = att.apply(params, feat_s, pert_r, diff, diff, mask, mask)
+    delta = np.abs(np.asarray(g1 - g0)).sum(-1)[0]  # [H, W]
+    # the bottom-right quadrant is > win away in both axes: with non-wrapping
+    # windows (shifted by win/2) it can never see the (0,0) key
+    assert delta[24:, 24:].max() == 0.0, delta[24:, 24:].max()
+    # sanity: the local neighborhood DID change
+    assert delta[:8, :8].max() > 0.0

@@ -22,10 +22,8 @@ from makeupdiffuse_tpu.training.train_state import TrainState
 
 
 @pytest.fixture(scope="module")
-def setup():
-    cfg = tiny_test_config()
-    model, params = init_model(cfg.model, jax.random.PRNGKey(0))
-    return cfg, model, params
+def setup(tiny_model_session):
+    return tiny_model_session
 
 
 def test_fit_checkpoints_and_metrics(setup, tmp_path):
@@ -81,6 +79,71 @@ def test_prepare_model_batch_teachers(setup):
     mb2 = prepare_model_batch(hb, ctx, alphas, teacher_type="KEEP")
     np.testing.assert_array_equal(np.asarray(mb2["pgt_sr"]), hb["nonmakeup_img"])
     assert not np.allclose(np.asarray(mb2["makeup_pgt"]), hb["nonmakeup_img"])
+
+
+def test_prepare_model_batch_gan_teachers(setup):
+    """The production ELEGANT/SCGAN teacher types produce a target that is NOT the
+    PGT side channel (get_target dispatch, diffusion_makeup.py:57-68)."""
+    cfg, model, params = setup
+    m = cfg.model
+    hb = synthetic_face_batch(2, m.image_size, m.unet.context_dim, m.clip.max_length)
+    ctx = jnp.zeros((2, m.clip.max_length, m.unet.context_dim))
+    alphas = jnp.asarray([0.1, 0.5, 0.3])
+    for tt in ("ELEGANT", "SCGAN"):
+        mb = prepare_model_batch(hb, ctx, alphas, teacher_type=tt)
+        assert not np.allclose(np.asarray(mb["pgt_sr"]), np.asarray(mb["makeup_pgt"])), tt
+        assert np.isfinite(np.asarray(mb["pgt_sr"])).all(), tt
+        assert float(jnp.abs(mb["pgt_sr"]).max()) <= 1.0, tt
+    # the makeup_pgt side channel is the histogram compose in BOTH cases (:87-93)
+    mb_e = prepare_model_batch(hb, ctx, alphas, teacher_type="ELEGANT")
+    mb_p = prepare_model_batch(hb, ctx, alphas, teacher_type="ELEGANT_PGT")
+    np.testing.assert_allclose(np.asarray(mb_e["makeup_pgt"]),
+                               np.asarray(mb_p["makeup_pgt"]), atol=1e-6)
+
+
+def test_prepare_model_batch_fixbkgrd(setup):
+    """is_fixbkgrd pastes source background/teeth/hair (seg∈{0,11,12}) over the
+    teacher target (Fixbackground.get_target, makeup_teacher.py:248-263)."""
+    cfg, model, params = setup
+    m = cfg.model
+    hb = synthetic_face_batch(2, m.image_size, m.unet.context_dim, m.clip.max_length)
+    ctx = jnp.zeros((2, m.clip.max_length, m.unet.context_dim))
+    alphas = jnp.asarray([0.3, 0.6, 0.4])
+    mb = prepare_model_batch(hb, ctx, alphas, teacher_type="ELEGANT_PGT",
+                             is_fixbkgrd=True)
+    bk = np.isin(hb["nonmakeup_seg"], (0, 11, 12))[..., None]
+    got = np.asarray(mb["pgt_sr"])
+    np.testing.assert_allclose(np.where(bk, got, 0),
+                               np.where(bk, hb["nonmakeup_img"], 0), atol=1e-5)
+    # with the paste on, target ≠ side channel even for ELEGANT_PGT
+    assert not np.allclose(got, np.asarray(mb["makeup_pgt"]))
+
+
+@pytest.mark.parametrize("teacher_type", ["ELEGANT_PGT", "KEEP", "ELEGANT", "SCGAN"])
+def test_fit_one_step_each_teacher(setup, tmp_path, teacher_type):
+    """fit() runs the reference's production config end-to-end for every
+    teacher_type string (VERDICT r1 item 1)."""
+    import dataclasses
+    cfg, model, params = setup
+    m = dataclasses.replace(cfg.model, teacher_type=teacher_type)
+    cfg = dataclasses.replace(
+        cfg, model=m,
+        train=dataclasses.replace(cfg.train, ckpt_every_steps=0, logger_freq=0),
+    )
+    params = jax.tree_util.tree_map(lambda x: x.copy(), params)
+    state = TrainState.create(params, cfg.train, m)
+
+    def data(epoch):
+        yield synthetic_face_batch(2, m.image_size, m.unet.context_dim,
+                                   m.clip.max_length, seed=11)
+
+    ctx_fn = lambda b: jnp.zeros((b, m.clip.max_length, m.unet.context_dim))
+    out = fit(cfg, model, state, data, ctx_fn, log_dir=str(tmp_path), num_epochs=1,
+              mesh=None)
+    assert int(out.step) == 1
+    recs = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    step_recs = [r for r in recs if "loss" in r]
+    assert step_recs and np.isfinite(step_recs[0]["loss"])
 
 
 def test_transfer_artifacts_full_set(setup):

@@ -14,9 +14,8 @@ from makeupdiffuse_tpu.training.train_step import make_train_step
 
 
 @pytest.fixture(scope="module")
-def setup():
-    cfg = tiny_test_config()
-    model, params = init_model(cfg.model, jax.random.PRNGKey(0))
+def setup(tiny_model_session):
+    cfg, model, params = tiny_model_session
     sched = DiffusionSchedule.create(timesteps=cfg.model.timesteps)
     return cfg, model, params, sched
 
@@ -178,6 +177,72 @@ def test_ema_tracking(setup):
     for k in moved[:3]:
         np.testing.assert_allclose(np.asarray(e[k]), 0.5 * np.asarray(o[k]) + 0.5 * np.asarray(p[k]),
                                    rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("param", ["eps", "x0", "v"])
+def test_parameterization_train_step(setup, param):
+    """Training target follows cfg.parameterization (origin_x0.py:22-28 /
+    makeup_diffuse.py:83-91) — all three train with finite loss."""
+    import dataclasses
+    cfg, model, params, _ = setup
+    m = dataclasses.replace(cfg.model, parameterization=param)
+    sched_p = DiffusionSchedule.create(timesteps=m.timesteps, parameterization=param)
+    params = _trained_like(params)
+    state = TrainState.create(params, cfg.train, m)
+    step = make_train_step(model, sched_p, m, donate=False)
+    new_state, metrics = step(state, _batch(cfg), jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"])), param
+    assert int(new_state.step) == 1
+
+
+def test_parameterization_targets_golden(setup):
+    """v target == sched.get_v; x0 target == x_start; eps target == noise
+    (VERDICT r1 item 2's done-criterion)."""
+    from makeupdiffuse_tpu.losses import diffusion_target, x_recon_from_output
+    cfg, model, params, sched = setup
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    z = jax.random.normal(k1, (2, 8, 8, 4))
+    noise = jax.random.normal(k2, (2, 8, 8, 4))
+    t = jnp.asarray([13, 977])
+    np.testing.assert_array_equal(
+        np.asarray(diffusion_target(sched, "eps", z, noise, t)), np.asarray(noise))
+    np.testing.assert_array_equal(
+        np.asarray(diffusion_target(sched, "x0", z, noise, t)), np.asarray(z))
+    np.testing.assert_allclose(
+        np.asarray(diffusion_target(sched, "v", z, noise, t)),
+        np.asarray(sched.get_v(z, noise, t)), rtol=1e-6)
+    # v-model x_recon roundtrip: x_t = q_sample(z, t, noise), v = get_v →
+    # predict_start_from_z_and_v recovers z
+    x_t = sched.q_sample(z, t, noise)
+    v = sched.get_v(z, noise, t)
+    np.testing.assert_allclose(
+        np.asarray(x_recon_from_output(sched, "v", x_t, t, v)), np.asarray(z),
+        rtol=1e-4, atol=1e-5)
+
+
+def test_fake_sr_detached_by_default(setup):
+    """Reference parity (ADVICE r1 high): fake_sr comes from a no-grad decode, so
+    with only the fake_sr-dependent weights active the trainable grads are ZERO by
+    default and nonzero under grad_through_fake_sr=True."""
+    import dataclasses
+    import flax
+    cfg, model, params, sched = setup
+    params = _trained_like(params)
+    batch = _batch(cfg)
+    base = dataclasses.replace(
+        cfg.model, l_simple_weight=0.0, w_idt_src=0.0, w_idt_ref=0.0,
+        w_cycle_content=0.0, w_cycle_makeup=0.0, w_bkgrd=1.0, w_makeup=1.0,
+    )
+
+    def gnorm(m_cfg):
+        g = jax.grad(lambda p: composite_loss(model, p, sched, m_cfg, batch,
+                                              jax.random.PRNGKey(1), jnp.asarray(100))[0])(params)
+        flat = flax.traverse_util.flatten_dict(g["params"], sep="/")
+        return sum(float(jnp.abs(v).sum()) for k, v in flat.items()
+                   if k.startswith("control_model"))
+
+    assert gnorm(base) == 0.0
+    assert gnorm(dataclasses.replace(base, grad_through_fake_sr=True)) > 0.0
 
 
 def test_cast_frozen_to_bf16(setup):

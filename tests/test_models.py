@@ -23,10 +23,9 @@ from makeupdiffuse_tpu.models.layers import timestep_embedding
 
 
 @pytest.fixture(scope="module")
-def setup():
-    cfg = tiny_test_config().model
-    model, params = init_model(cfg, jax.random.PRNGKey(0))
-    return cfg, model, params
+def setup(tiny_model_session):
+    cfg, model, params = tiny_model_session
+    return cfg.model, model, params
 
 
 def _batch(cfg, b=2, seed=0):

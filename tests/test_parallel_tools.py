@@ -14,10 +14,8 @@ from makeupdiffuse_tpu.tools.compare_outputs import psnr, ssim
 
 
 @pytest.fixture(scope="module")
-def setup():
-    cfg = tiny_test_config()
-    model, params = init_model(cfg.model, jax.random.PRNGKey(0))
-    return cfg, model, params
+def setup(tiny_model_session):
+    return tiny_model_session
 
 
 def test_dp_sharded_inference_matches_single(setup):
