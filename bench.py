@@ -57,9 +57,9 @@ def main():
     from makeupdiffuse_tpu.core.dpm_solver import DPMTables, dpmpp_2m_sample
     from makeupdiffuse_tpu.core.schedule import DiffusionSchedule
     from makeupdiffuse_tpu.models.controlled_ldm import fast_init_model, make_denoiser
-    from makeupdiffuse_tpu.ops import pallas_attention
+    from makeupdiffuse_tpu.ops import enable_tpu_kernels
 
-    pallas_attention.FLASH_DEFAULT = True  # +10% end-to-end on v5e
+    enable_tpu_kernels()  # flash attention (+10% e2e on v5e) + fused GroupNorm+SiLU
 
     base = ModelConfig()
     cfg = dataclasses.replace(
@@ -93,6 +93,12 @@ def main():
         return
 
     model, params = fast_init_model(cfg)
+    # inference-grade weights: bf16 on device. Keeps 2.85 GB (not 5.7) of weight
+    # traffic per forward and drops the per-use f32→bf16 casts; norms still
+    # compute in f32 internally (GroupNorm32/LayerNorm upcast their inputs).
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, params
+    )
     params = jax.device_put(params, jax.devices()[0])
     sched = DiffusionSchedule.create(timesteps=cfg.timesteps)
 

@@ -13,7 +13,7 @@ the middle-block zero conv — consumed by models/unet.ControlledUNet.
 """
 from __future__ import annotations
 
-from typing import Any, List
+from typing import Any, List, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -58,9 +58,10 @@ class ControlNet(nn.Module):
     def __call__(
         self,
         x: jnp.ndarray,  # [B, h, w, 4] noisy latent
-        hint: jnp.ndarray,  # [B, H, W, hint_channels] (src ‖ ref), range [0, 1]
+        hint: Optional[jnp.ndarray],  # [B, H, W, hint_channels] (src ‖ ref), [0, 1]
         timesteps: jnp.ndarray,  # [B]
         context: jnp.ndarray,  # [B, 77, context_dim]
+        hint_features: Optional[jnp.ndarray] = None,  # precomputed stem output
     ) -> List[jnp.ndarray]:
         cfg = self.cfg
         RB = nn.remat(ResBlock) if cfg.use_checkpoint else ResBlock
@@ -69,7 +70,12 @@ class ControlNet(nn.Module):
         x = x.astype(self.dtype)
         context = context.astype(self.dtype)
         emb = TimeEmbedding(cfg.model_channels, dtype=self.dtype, name="time_embed")(timesteps)
-        guided_hint = HintStem(cfg.model_channels, self.dtype, name="input_hint_block")(hint)
+        if hint_features is not None:
+            # the stem's input is constant across a sampling chain — samplers
+            # hoist it out of the 50-step scan (compute_hint_features)
+            guided_hint = hint_features.astype(self.dtype)
+        else:
+            guided_hint = HintStem(cfg.model_channels, self.dtype, name="input_hint_block")(hint)
 
         def zero_conv(h, idx):
             return nn.Conv(h.shape[-1], (1, 1), dtype=self.dtype,

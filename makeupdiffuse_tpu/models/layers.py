@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops import pallas_attention
+from ..ops import pallas_attention, pallas_norm
 
 Dtype = Any
 
@@ -43,29 +43,27 @@ class GroupNorm32(nn.Module):
     """GroupNorm(32) computed in float32, cast back to the working dtype.
 
     Hand-rolled (not nn.GroupNorm) so `scale`/`bias` live directly at this module's
-    path — keeping the torch-checkpoint name mapping flat (tools/convert_torch_ckpt)."""
+    path — keeping the torch-checkpoint name mapping flat (tools/convert_torch_ckpt).
+
+    ``act="silu"`` and ``add`` fuse the surrounding SiLU / time-embedding add into
+    the norm — a single-pass Pallas kernel on TPU (ops.pallas_norm), identical jnp
+    math elsewhere."""
 
     num_groups: int = 32
     epsilon: float = 1e-5
+    act: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        dtype = x.dtype
+    def __call__(self, x: jnp.ndarray, add: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         c = x.shape[-1]
         # production channel counts are multiples of 32; the gcd fallback only
         # triggers in miniature test configs
         groups = self.num_groups if c % self.num_groups == 0 else math.gcd(c, self.num_groups)
         scale = self.param("scale", nn.initializers.ones_init(), (c,))
         bias = self.param("bias", nn.initializers.zeros_init(), (c,))
-        xf = x.astype(jnp.float32)
-        shape = xf.shape[:-1] + (groups, c // groups)
-        xg = xf.reshape(shape)
-        red = tuple(range(1, xf.ndim - 1)) + (xf.ndim,)
-        mean = jnp.mean(xg, axis=red, keepdims=True)
-        var = jnp.mean(jnp.square(xg - mean), axis=red, keepdims=True)
-        xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
-        xf = xg.reshape(xf.shape) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-        return xf.astype(dtype)
+        return pallas_norm.group_norm_silu(
+            x, scale, bias, groups=groups, eps=self.epsilon, act=self.act, add=add
+        )
 
 
 class ResBlock(nn.Module):
@@ -78,15 +76,12 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
         in_ch = x.shape[-1]
-        h = GroupNorm32(name="in_norm")(x)
-        h = nn.silu(h)
+        h = GroupNorm32(act="silu", name="in_norm")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(h)
 
         emb_out = nn.Dense(self.out_channels, dtype=self.dtype, name="emb_proj")(nn.silu(emb))
-        h = h + emb_out[:, None, None, :].astype(h.dtype)
-
-        h = GroupNorm32(name="out_norm")(h)
-        h = nn.silu(h)
+        # time-emb add fuses into the norm's single VMEM pass (ops.pallas_norm)
+        h = GroupNorm32(act="silu", name="out_norm")(h, add=emb_out)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout, deterministic=True)(h)
         h = nn.Conv(

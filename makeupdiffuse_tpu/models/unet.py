@@ -96,8 +96,7 @@ class ControlledUNet(nn.Module):
                     h = Upsample(ch, self.dtype, name=f"up_{level}_upsample")(h)
                     ds //= 2
 
-        h = GroupNorm32(name="out_norm")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(act="silu", name="out_norm")(h)
         h = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     kernel_init=zero_init(), bias_init=zero_init(), name="conv_out")(h)
         return h.astype(jnp.float32)

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import VAEConfig
+from ..ops import pallas_attention
 from .layers import GroupNorm32
 
 
@@ -28,11 +29,9 @@ class VAEResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         in_ch = x.shape[-1]
-        h = GroupNorm32(epsilon=1e-6, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNorm32(epsilon=1e-6, act="silu", name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
-        h = GroupNorm32(epsilon=1e-6, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(epsilon=1e-6, act="silu", name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if in_ch != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
@@ -48,14 +47,13 @@ class VAEAttnBlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         hn = GroupNorm32(epsilon=1e-6, name="norm")(x)
-        q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(hn).reshape(b, h * w, c)
-        k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(hn).reshape(b, h * w, c)
-        v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(hn).reshape(b, h * w, c)
-        logits = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
-        weights = jax.nn.softmax(logits * (c ** -0.5), axis=-1).astype(x.dtype)
-        out = jnp.einsum("bqk,bkc->bqc", weights, v,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
-        out = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(out.reshape(b, h, w, c))
+        q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(hn).reshape(b, h * w, 1, c)
+        k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(hn).reshape(b, h * w, 1, c)
+        v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(hn).reshape(b, h * w, 1, c)
+        # shared dispatch: Pallas flash kernel when enabled (1024 tokens at the
+        # 32² latent), XLA einsum otherwise — f32 softmax either way
+        out = pallas_attention.attention(q, k, v).reshape(b, h, w, c).astype(x.dtype)
+        out = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(out)
         return x + out
 
 
@@ -83,8 +81,7 @@ class Encoder(nn.Module):
         h = VAEResnetBlock(ch, self.dtype, name="mid_block_1")(h)
         h = VAEAttnBlock(self.dtype, name="mid_attn_1")(h)
         h = VAEResnetBlock(ch, self.dtype, name="mid_block_2")(h)
-        h = GroupNorm32(epsilon=1e-6, name="norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(epsilon=1e-6, act="silu", name="norm_out")(h)
         out_ch = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
         return nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
 
@@ -110,8 +107,7 @@ class Decoder(nn.Module):
                 h = jax.image.resize(h, (b, hh * 2, ww * 2, c), method="nearest")
                 h = nn.Conv(c, (3, 3), padding=1, dtype=self.dtype,
                             name=f"up_{level}_upsample")(h)
-        h = GroupNorm32(epsilon=1e-6, name="norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(epsilon=1e-6, act="silu", name="norm_out")(h)
         return nn.Conv(cfg.out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
 
 

@@ -1,0 +1,27 @@
+"""TPU-native ops: Pallas kernels (attention, fused norms) + image/mask utilities."""
+from __future__ import annotations
+
+
+def enable_tpu_kernels(enable: bool = True) -> bool:
+    """Switch the Pallas fast paths (flash attention, fused GroupNorm+SiLU) on/off.
+
+    Returns the value applied. Drivers call this once at startup on the real
+    chip; the CPU test mesh leaves them off (kernels are covered separately in
+    interpret mode, tests/test_pallas_kernels.py)."""
+    from . import pallas_attention, pallas_norm
+
+    pallas_attention.FLASH_DEFAULT = enable
+    pallas_norm.FUSED_DEFAULT = enable
+    return enable
+
+
+def enable_tpu_kernels_if_tpu() -> bool:
+    """Enable the Pallas fast paths iff the default JAX backend is a TPU-like
+    device (the axon plugin registers as a non-cpu platform)."""
+    import jax
+
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    return enable_tpu_kernels(platform not in ("cpu",))

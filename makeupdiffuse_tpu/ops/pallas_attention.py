@@ -9,9 +9,15 @@ of K/V once (≤1.3 MB) and streams 128-row query blocks — flash attention deg
 case with a single K block, no online rescaling needed.
 
 Head dims are SD's 40/80/160 → zero-padded to the 128-lane tile; K-sequence padding
-is masked with -inf before the softmax. Forward-only Pallas; a custom VJP recomputes
-the jnp reference for the backward (training memory equals the status quo; inference
-— the BENCH path — never differentiates).
+is masked with -inf before the softmax.
+
+Backward is Pallas too: one program per (batch·head), streaming 128-row query
+blocks against the full K/V (which fit VMEM at these lengths). dK/dV output blocks
+map to the same VMEM block across the query-block grid dim, so they accumulate
+in-place without an HBM round-trip per block — the sequential TPU grid makes this
+a plain revisit, not a race. Softmax is recomputed from (q, k, v) residuals
+(flash-standard: cheaper than storing the [N, S] probabilities), and
+δ = Σ_j P∘dP replaces the usual Σ dO∘O so the forward output need not be saved.
 """
 from __future__ import annotations
 
@@ -26,6 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .attention import mha_attention
 
 __all__ = ["flash_attention", "attention"]
+
+INTERPRET = False  # CPU tests flip this to run the kernels in interpreter mode
 
 
 def _round_up(x: int, m: int) -> int:
@@ -94,6 +102,7 @@ def _flash_fwd_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
             bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
             transcendentals=b * h * np_ * sp,
         ),
+        interpret=INTERPRET,
     )(qp, kp, vp)
     out = out[:, :n, :d].reshape(b, h, n, d)
     return jnp.transpose(out, (0, 2, 1, 3))
@@ -108,12 +117,116 @@ def _flash_fwd(q, k, v):
     return _flash_fwd_impl(q, k, v), (q, k, v)
 
 
+def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
+                scale: float, s_valid: int):
+    """One (batch·head, q-block) program of the flash backward.
+
+    dV = Pᵀ·dO, dP = dO·Vᵀ, δ = Σ_j P∘dP, dS = P∘(dP − δ)·scale,
+    dQ = dS·K, dK += dSᵀ·Q — dK/dV blocks are revisited (accumulated) across the
+    q-block grid dimension."""
+    j = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32)  # [BQ, Dp]
+    k = k_ref[0].astype(jnp.float32)  # [Sp, Dp]
+    v = v_ref[0].astype(jnp.float32)  # [Sp, Dp]
+    g = g_ref[0].astype(jnp.float32)  # [BQ, Dp]
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [BQ, Sp]
+    sp = logits.shape[-1]
+    if s_valid < sp:
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < s_valid, logits, jnp.finfo(jnp.float32).min)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)  # [BQ, Sp]
+
+    dp = jax.lax.dot_general(
+        g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BQ, Sp]
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)  # [BQ, 1]
+    ds = p * (dp - delta) * scale  # [BQ, Sp]
+
+    dq_ref[0] = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dq_ref.dtype)
+
+    dk_blk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [Sp, Dp]
+    dv_blk = jax.lax.dot_general(
+        p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [Sp, Dp]
+
+    @pl.when(j == 0)
+    def _init():
+        dk_ref[0] = dk_blk.astype(dk_ref.dtype)
+        dv_ref[0] = dv_blk.astype(dv_ref.dtype)
+
+    @pl.when(j > 0)
+    def _accum():
+        dk_ref[0] += dk_blk.astype(dk_ref.dtype)
+        dv_ref[0] += dv_blk.astype(dv_ref.dtype)
+
+
+def _flash_bwd_impl(q, k, v, g):
+    b, n, h, d = q.shape
+    s = k.shape[1]
+    scale = float(d) ** -0.5
+
+    dp_ = _round_up(d, 128)
+    sp = _round_up(s, 128)
+    bq = min(128, _round_up(n, 8))
+    np_ = _round_up(n, bq)
+
+    def to_bhnd(x, length, lp):
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, length, d)
+        return jnp.pad(x, ((0, 0), (0, lp - length), (0, dp_ - d)))
+
+    qp = to_bhnd(q, n, np_)
+    kp = to_bhnd(k, s, sp)
+    vp = to_bhnd(v, s, sp)
+    gp = to_bhnd(g, n, np_)
+
+    grid = (b * h, np_ // bq)
+    kv_spec = pl.BlockSpec((1, sp, dp_), lambda i, j: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    q_spec = pl.BlockSpec((1, bq, dp_), lambda i, j: (i, j, 0),
+                          memory_space=pltpu.VMEM)
+    # grads accumulate in f32 regardless of input dtype (bf16 += would lose bits)
+    f32 = jnp.float32
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, s_valid=s),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, np_, dp_), f32),
+            jax.ShapeDtypeStruct((b * h, sp, dp_), f32),
+            jax.ShapeDtypeStruct((b * h, sp, dp_), f32),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[q_spec, kv_spec, kv_spec, q_spec],
+            out_specs=(q_spec, kv_spec, kv_spec),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b * h * np_ * sp * dp_,
+            bytes_accessed=2 * (qp.size + kp.size + vp.size + gp.size)
+            * qp.dtype.itemsize,
+            transcendentals=b * h * np_ * sp,
+        ),
+        interpret=INTERPRET,
+    )(qp, kp, vp, gp)
+
+    def from_bhnd(x, length, dtype):
+        x = x[:, :length, :d].reshape(b, h, length, d)
+        return jnp.transpose(x, (0, 2, 1, 3)).astype(dtype)
+
+    return (from_bhnd(dq, n, q.dtype), from_bhnd(dk, s, k.dtype),
+            from_bhnd(dv, s, v.dtype))
+
+
 def _flash_bwd(res, g):
-    # backward recomputes the jnp reference path (same memory as the non-flash
-    # training status quo; the inference bench never takes this branch)
     q, k, v = res
-    _, vjp = jax.vjp(lambda q, k, v: mha_attention(q, k, v), q, k, v)
-    return vjp(g)
+    return _flash_bwd_impl(q, k, v, g)
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)

@@ -31,6 +31,9 @@ def main():
 
     from makeupdiffuse_tpu.api import transfer_artifacts
     from makeupdiffuse_tpu.config import Config, tiny_test_config
+    from makeupdiffuse_tpu.ops import enable_tpu_kernels_if_tpu
+
+    enable_tpu_kernels_if_tpu()  # Pallas flash attention + fused norms on the chip
     from makeupdiffuse_tpu.core.ddim import DDIMTables
     from makeupdiffuse_tpu.core.schedule import DiffusionSchedule
     from makeupdiffuse_tpu.models.clip_text import precompute_prompt_bank

@@ -35,6 +35,9 @@ def main():
     args = ap.parse_args()
 
     from makeupdiffuse_tpu.config import Config, load_config, tiny_test_config
+    from makeupdiffuse_tpu.ops import enable_tpu_kernels_if_tpu
+
+    enable_tpu_kernels_if_tpu()  # Pallas flash attention + fused norms on the chip
     from makeupdiffuse_tpu.models.clip_text import precompute_prompt_bank, PROMPT_IDS
     from makeupdiffuse_tpu.models.controlled_ldm import ControlledLDM, fast_init_model, init_model
     from makeupdiffuse_tpu.training.loop import fit

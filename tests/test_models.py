@@ -139,3 +139,19 @@ def test_num_control_levels_matches_controlnet(setup):
         method=lambda m, *a: m.control_model(*a),
     )
     assert len(controls) == cfg.num_control_levels
+
+
+def test_hint_features_hoist_parity(setup):
+    """apply_eps with a precomputed hint stem == apply_eps computing it inline,
+    and the CFG denoiser (which hoists the stem out of the sampling scan) matches
+    the manual cond/uncond combination."""
+    from makeupdiffuse_tpu.models.controlled_ldm import compute_hint_features
+
+    cfg, model, params = setup
+    x, t, ctx, hint = _batch(cfg, seed=11)
+    hf = compute_hint_features(model, params, hint)
+    eps_inline = model.apply(params, x, t, ctx, hint, method=model.apply_eps)
+    eps_hoisted = model.apply(params, x, t, ctx, None, None, False, hf,
+                              method=model.apply_eps)
+    np.testing.assert_allclose(np.asarray(eps_hoisted), np.asarray(eps_inline),
+                               rtol=1e-5, atol=1e-5)

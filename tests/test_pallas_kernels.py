@@ -1,0 +1,132 @@
+"""Interpret-mode correctness tests for the Pallas TPU kernels.
+
+The kernels only execute natively on the real chip (bench/train drivers enable
+them); these tests run them through the Pallas interpreter on the CPU mesh so the
+math is pinned in CI. Shapes mirror the UNet levels at a 32² latent
+(SURVEY.md §3.1): 1024/256/64 spatial tokens, head dims 40/80/160.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from makeupdiffuse_tpu.ops import pallas_attention, pallas_norm
+from makeupdiffuse_tpu.ops.attention import mha_attention
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    pallas_attention.INTERPRET = True
+    pallas_norm.INTERPRET = True
+    yield
+    pallas_attention.INTERPRET = False
+    pallas_norm.INTERPRET = False
+
+
+@pytest.mark.parametrize("n,d", [(256, 80), (64, 160), (77, 64)])
+def test_flash_forward_matches_xla(n, d):
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    b, h = 2, 4
+    q = jax.random.normal(k1, (b, n, h, d))
+    k = jax.random.normal(k2, (b, n, h, d))
+    v = jax.random.normal(k3, (b, n, h, d))
+    out = pallas_attention.flash_attention(q, k, v)
+    ref = mha_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_backward_matches_jnp_grads():
+    """Pallas dQ/dK/dV vs jax.grad through the jnp reference (VERDICT r1 #8)."""
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    b, n, h, d = 2, 130, 3, 40  # deliberately ragged: pads N→256 rows, D→128 lanes
+    q = jax.random.normal(ks[0], (b, n, h, d))
+    k = jax.random.normal(ks[1], (b, n, h, d))
+    v = jax.random.normal(ks[2], (b, n, h, d))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.sin(pallas_attention.flash_attention(q, k, v)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(mha_attention(q, k, v)))
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4)
+
+
+def test_flash_backward_bf16_finite_and_close():
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    b, n, h, d = 1, 256, 2, 80
+    q, k, v = (jax.random.normal(kk, (b, n, h, d), jnp.bfloat16) for kk in ks)
+    g = jax.grad(lambda q, k, v: jnp.sum(
+        pallas_attention.flash_attention(q, k, v).astype(jnp.float32) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(lambda q, k, v: jnp.sum(
+        mha_attention(q, k, v).astype(jnp.float32) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g, g_ref):
+        assert a.dtype == jnp.bfloat16
+        assert bool(jnp.all(jnp.isfinite(a.astype(jnp.float32))))
+        np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b_, np.float32),
+                                   rtol=0.1, atol=0.1)
+
+
+@pytest.mark.parametrize(
+    "shape,groups,act,with_add,dtype",
+    [
+        ((2, 16, 16, 320), 32, "silu", True, jnp.float32),
+        ((2, 8, 8, 640), 32, None, False, jnp.bfloat16),
+        ((1, 4, 4, 64), 32, "silu", False, jnp.float32),
+    ],
+)
+def test_fused_group_norm_matches_reference(shape, groups, act, with_add, dtype):
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    c = shape[-1]
+    x = (jax.random.normal(ks[0], shape) * 3).astype(dtype)
+    scale = jax.random.normal(ks[1], (c,)) * 0.5 + 1.0
+    bias = jax.random.normal(ks[2], (c,)) * 0.2
+    add = jax.random.normal(ks[3], (shape[0], c)) if with_add else None
+    out = pallas_norm.group_norm_silu(
+        x, scale, bias, groups=groups, act=act, add=add, use_fused=True)
+    ref = pallas_norm._jnp_group_norm(x, scale, bias, groups, 1e-5, act, add)
+    tol = 1e-5 if dtype == jnp.float32 else 5e-2
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=tol, atol=tol)
+
+
+def test_fused_group_norm_grads_match():
+    ks = jax.random.split(jax.random.PRNGKey(4), 4)
+    x = jax.random.normal(ks[0], (2, 8, 8, 64))
+    scale = jnp.ones((64,)) * 1.3
+    bias = jnp.zeros((64,)) + 0.1
+    add = jax.random.normal(ks[1], (2, 64))
+
+    def f(fused):
+        return lambda x, s, b, a: jnp.sum(pallas_norm.group_norm_silu(
+            x, s, b, groups=32, act="silu", add=a, use_fused=fused) ** 2)
+
+    g1 = jax.grad(f(True), argnums=(0, 1, 2, 3))(x, scale, bias, add)
+    g2 = jax.grad(f(False), argnums=(0, 1, 2, 3))(x, scale, bias, add)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
+
+
+def test_group_norm_module_fused_equals_unfused():
+    """GroupNorm32-in-model parity: fused kernel vs the module's jnp math."""
+    from makeupdiffuse_tpu.models.layers import ResBlock
+
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    x = jax.random.normal(ks[0], (2, 8, 8, 96))
+    emb = jax.random.normal(ks[1], (2, 48))
+    block = ResBlock(out_channels=96)
+    params = block.init(ks[2], x, emb)
+    y_ref = block.apply(params, x, emb)
+    old = pallas_norm.FUSED_DEFAULT
+    pallas_norm.FUSED_DEFAULT = True
+    try:
+        y_fused = block.apply(params, x, emb)
+    finally:
+        pallas_norm.FUSED_DEFAULT = old
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-5)
