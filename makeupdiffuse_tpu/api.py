@@ -20,7 +20,7 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from .core.ddim import DDIMTables, ddim_sample
+from .core.ddim import DDIMTables, ddim_reconstruct, ddim_sample
 from .core.schedule import DiffusionSchedule
 from .models.controlled_ldm import ControlledLDM, make_denoiser
 
@@ -91,6 +91,70 @@ def transfer_artifacts(
         )
 
     return {k: jnp.clip(v, -1.0, 1.0) for k, v in out.items()}
+
+
+def progressive_artifacts(
+    model: ControlledLDM,
+    params,
+    sched: DiffusionSchedule,
+    tables: DDIMTables,
+    pgt_sr: jnp.ndarray,  # [B,H,W,3] teacher target in [-1,1]
+    src_img: jnp.ndarray,  # [B,H,W,3] in [0,1]
+    ref_img: jnp.ndarray,  # [B,H,W,3] in [0,1]
+    context: jnp.ndarray,
+    rng: jax.Array,
+    log_every_t: int = 200,
+    n_denoise_tiles: int = 6,
+) -> Dict[str, jnp.ndarray]:
+    """The gray-colorization variant's progressive grids (log_images
+    plot_diffusion_rows/plot_denoise_rows, /root/reference/diffmk/
+    makeup_controlnet.py:55-84):
+
+      diffusion_row  q_sample(z, t) decoded at every ``log_every_t``-th DDPM t
+                     (plus t = T−1) — forward-noising strip per image.
+      denoise_row    pred_x0 decoded at ~``n_denoise_tiles`` evenly spaced DDIM
+                     steps of an unguided sample — reverse-denoising strip.
+
+    Returns ``{name: ([B·K, H, W, 3] tiles, K)}`` — tiles are row-major per
+    image so a grid with K columns shows one image per row."""
+    cfg = model.cfg
+    b = pgt_sr.shape[0]
+    k_z, k_noise, k_samp = jax.random.split(rng, 3)
+
+    mean, logvar = model.apply(params, pgt_sr, method=model.encode_moments)
+    z = cfg.scale_factor * (mean + jnp.exp(0.5 * logvar)
+                            * jax.random.normal(k_z, mean.shape))
+
+    # diffusion row: t = 0, log_every_t, 2·log_every_t, …, T−1 (:59-71)
+    ts = [t for t in range(sched.num_timesteps)
+          if t % log_every_t == 0] + [sched.num_timesteps - 1]
+    noise = jax.random.normal(k_noise, z.shape)
+    z_noisy = jnp.stack([
+        sched.q_sample(z, jnp.full((b,), t, jnp.int32), noise) for t in ts
+    ])  # [K, B, h, w, 4]
+    k1 = len(ts)
+    flat = z_noisy.transpose(1, 0, 2, 3, 4).reshape((b * k1,) + z.shape[1:])
+    diffusion_row = model.apply(params, flat, method=model.decode_latent)
+
+    # denoise row: unguided DDIM chain, pred_x0 intermediates (:74-84)
+    hint = jnp.concatenate([src_img, ref_img], axis=-1)
+    den = make_denoiser(model, params, context, hint, schedule=sched)
+    x_T = jax.random.normal(k_samp, z.shape)
+    _, preds = ddim_reconstruct(den, x_T, tables, t_start=tables.num_steps,
+                                return_pred_x0=True)  # [S, B, h, w, 4]
+    stride = max(1, tables.num_steps // n_denoise_tiles)
+    keep = list(range(0, tables.num_steps, stride))
+    if keep[-1] != tables.num_steps - 1:
+        keep.append(tables.num_steps - 1)
+    k2 = len(keep)
+    sel = preds[jnp.asarray(keep)].transpose(1, 0, 2, 3, 4)
+    denoise_row = model.apply(
+        params, sel.reshape((b * k2,) + z.shape[1:]), method=model.decode_latent)
+
+    return {
+        "diffusion_row": (jnp.clip(diffusion_row, -1.0, 1.0), k1),
+        "denoise_row": (jnp.clip(denoise_row, -1.0, 1.0), k2),
+    }
 
 
 def interpolate_transfer(

@@ -140,16 +140,23 @@ def ddim_reconstruct(
     t_start: int,
     rng: Optional[jax.Array] = None,
     temperature: float = 1.0,
-) -> jnp.ndarray:
+    return_pred_x0: bool = False,
+):
     """Decode from a (possibly partially diffused/inverted) latent: iterate the first
-    ``t_start`` DDIM steps in reverse (parity: cddim.py:81-100)."""
+    ``t_start`` DDIM steps in reverse (parity: cddim.py:81-100).
+
+    ``return_pred_x0=True`` additionally returns the per-step x₀ predictions
+    stacked as ``[t_start, B, ...]`` (scan ys) — the intermediates ldm's sampler
+    logs for the progressive 'denoise_row' grids (log_images plot_denoise_rows,
+    /root/reference/diffmk/makeup_controlnet.py:74-84)."""
     t_start = int(t_start)
     if not 0 <= t_start <= tables.num_steps:
         raise ValueError(
             f"t_start={t_start} out of range for a {tables.num_steps}-step DDIM table"
         )
     if t_start == 0:
-        return x_latent
+        return (x_latent, jnp.zeros((0,) + x_latent.shape, x_latent.dtype)) \
+            if return_pred_x0 else x_latent
     deterministic = rng is None
 
     def body(x, per_step):
@@ -158,8 +165,8 @@ def ddim_reconstruct(
             noise = jnp.zeros_like(x)
         else:
             noise = jax.random.normal(key, x.shape, x.dtype)
-        x_prev, _ = _ddim_step(tables, denoiser, x, index, noise, temperature)
-        return x_prev, None
+        x_prev, pred_x0 = _ddim_step(tables, denoiser, x, index, noise, temperature)
+        return x_prev, (pred_x0 if return_pred_x0 else None)
 
     indices = jnp.arange(t_start - 1, -1, -1, dtype=jnp.int32)
     keys = (
@@ -167,8 +174,8 @@ def ddim_reconstruct(
         if not deterministic
         else jnp.zeros((t_start, 2), dtype=jnp.uint32)
     )
-    x_dec, _ = jax.lax.scan(body, x_latent, (indices, keys))
-    return x_dec
+    x_dec, preds = jax.lax.scan(body, x_latent, (indices, keys))
+    return (x_dec, preds) if return_pred_x0 else x_dec
 
 
 def ddim_encode(

@@ -97,6 +97,15 @@ class ImageLogger:
                 os.path.join(self.dir, f"{k}_gs-{step:06}.png")
             )
 
+    def log_row_grid(self, step: int, key: str, tiles: np.ndarray, row_len: int,
+                     rescale: bool = True) -> None:
+        """Progressive strips ([B·K,H,W,3] row-major tiles, K columns per image):
+        the diffusion_row / denoise_row grids of the reference's log_images
+        (/root/reference/diffmk/makeup_controlnet.py:55-84)."""
+        tiles = np.asarray(tiles)[: self.max_images * row_len]
+        grid = make_grid(to_uint8(tiles, rescale), nrow=row_len)
+        Image.fromarray(grid).save(os.path.join(self.dir, f"{key}_gs-{step:06}.png"))
+
 
 class TestArtifactWriter:
     """save_local + pair-manifest parity (diffusion_makeup.py:379-411): per test

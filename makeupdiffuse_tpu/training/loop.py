@@ -144,7 +144,7 @@ def fit(
                     # batch_frequency steps (MakeupImageLogger → log_images,
                     # diffusion_makeup.py:180-252); off by default — each call runs
                     # two full DDIM chains
-                    from ..api import transfer_artifacts
+                    from ..api import progressive_artifacts, transfer_artifacts
                     from ..core.ddim import DDIMTables
 
                     tables = DDIMTables.create(sched, num_steps=sample_steps)
@@ -162,6 +162,15 @@ def fit(
                     image_log.log_images(
                         step, {k: np.asarray(v) for k, v in arts.items()}
                     )
+                    # progressive strips (plot_diffusion_rows/plot_denoise_rows,
+                    # makeup_controlnet.py:55-84), paced by cfg.model.log_every_t
+                    rows = progressive_artifacts(
+                        model, state.params, sched, tables,
+                        mb["pgt_sr"][:n], mb["src_img"][:n], mb["ref_img"][:n],
+                        mb["context"][:n], step_key, log_every_t=m.log_every_t,
+                    )
+                    for key, (tiles, row_len) in rows.items():
+                        image_log.log_row_grid(step, key, np.asarray(tiles), row_len)
             ckpt.maybe_save(state)
         # epoch hooks: AdjustTmin (makeup_diffuse.py:262-266) + PGT alpha anneal
         if m.is_adjust:

@@ -225,3 +225,47 @@ def test_fit_sample_logging(setup, tmp_path):
     pngs = {os.path.basename(p) for p in glob.glob(str(tmp_path / "images" / "*.png"))}
     assert any(p.startswith("samples_cfg_scale_9.00") for p in pngs), pngs
     assert any(p.startswith("sample_ddmp") for p in pngs)
+    # progressive strips (plot_diffusion_rows/plot_denoise_rows parity)
+    assert any(p.startswith("diffusion_row") for p in pngs), pngs
+    assert any(p.startswith("denoise_row") for p in pngs)
+
+
+def test_progressive_artifacts_shapes(setup):
+    """diffusion_row tiles every log_every_t-th t (+T−1); denoise_row ~6 stops of
+    the DDIM chain (makeup_controlnet.py:55-84)."""
+    from makeupdiffuse_tpu.api import progressive_artifacts
+
+    cfg, model, params = setup
+    m = cfg.model
+    H = m.image_size
+    sched = DiffusionSchedule.create(timesteps=m.timesteps)
+    tables = DDIMTables.create(sched, num_steps=4)
+    b = 2
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    pgt = jax.random.uniform(ks[0], (b, H, H, 3)) * 2 - 1
+    src = jax.random.uniform(ks[1], (b, H, H, 3))
+    ref = jax.random.uniform(ks[2], (b, H, H, 3))
+    ctx = jnp.zeros((b, m.clip.max_length, m.unet.context_dim))
+    rows = progressive_artifacts(model, params, sched, tables, pgt, src, ref,
+                                 ctx, ks[3], log_every_t=m.timesteps // 2)
+    tiles, k1 = rows["diffusion_row"]
+    # ts = {0, T/2} plus T-1
+    assert k1 == 3 and tiles.shape == (b * k1, H, H, 3)
+    tiles2, k2 = rows["denoise_row"]
+    assert tiles2.shape == (b * k2, H, H, 3) and 1 <= k2 <= tables.num_steps
+    for t in (tiles, tiles2):
+        assert bool(jnp.isfinite(t).all())
+
+
+def test_ddim_return_pred_x0_consistent():
+    """return_pred_x0 keeps the final latent identical and stacks S predictions."""
+    from makeupdiffuse_tpu.core.ddim import ddim_reconstruct
+
+    sched = DiffusionSchedule.create(timesteps=100)
+    tables = DDIMTables.create(sched, num_steps=5)
+    den = lambda x, t: 0.1 * x  # any fixed pseudo-denoiser
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4))
+    plain = ddim_reconstruct(den, x, tables, t_start=5)
+    both, preds = ddim_reconstruct(den, x, tables, t_start=5, return_pred_x0=True)
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(both), rtol=1e-6)
+    assert preds.shape == (5,) + x.shape
