@@ -8,9 +8,9 @@ cropped face at 512², produce the 14-class palette the datasets consume
 
 Architecture: BiSeNet with a ResNet-18 context path, ARM refinement at 1/16 and
 1/32, global-context tail, and FFM fusion — the standard face-parsing topology the
-reference's checkpoint uses, so a torch→jax weight conversion is a name-mapping
-exercise (tools, future round). Emits 19 CelebAMask-HQ classes, remapped to the
-14-class palette via CELEBA19_TO_FACE14.
+reference's checkpoint uses; ``tools/convert_bisenet.py`` maps the zllrunning
+``79999_iter.pth`` key set onto these modules 1:1 (shape-asserted). Emits 19
+CelebAMask-HQ classes, remapped to the 14-class palette via CELEBA19_TO_FACE14.
 
 Landmarks: dlib's 68-point detector is a host-side C++ dependency; the framework
 keeps the reference's offline-cache pattern (lms/*.npy, preprocessing.py:122-128)
@@ -119,9 +119,13 @@ class FFM(nn.Module):
         fcat = jnp.concatenate([sp, cp], axis=-1)
         feat = ConvBNReLU(self.ch, 1, self.dtype, name="convblk")(fcat)
         atten = jnp.mean(feat, axis=(1, 2), keepdims=True)
-        atten = nn.Conv(self.ch // 4, (1, 1), dtype=self.dtype, name="conv1")(atten)
+        # bias-free 1×1s, matching the face-parsing.PyTorch FeatureFusionModule
+        # exactly so the 79999_iter.pth key set converts 1:1 (tools/convert_bisenet)
+        atten = nn.Conv(self.ch // 4, (1, 1), use_bias=False, dtype=self.dtype,
+                        name="conv1")(atten)
         atten = nn.relu(atten)
-        atten = nn.Conv(self.ch, (1, 1), dtype=self.dtype, name="conv2")(atten)
+        atten = nn.Conv(self.ch, (1, 1), use_bias=False, dtype=self.dtype,
+                        name="conv2")(atten)
         atten = jax.nn.sigmoid(atten)
         return feat + feat * atten
 
@@ -147,7 +151,8 @@ class BiSeNet(nn.Module):
         # spatial path = feat8 (the face-parsing variant reuses the backbone's 1/8)
         fused = FFM(256, self.dtype, name="ffm")(f8, f16_up)
         out = ConvBNReLU(256, 3, self.dtype, name="conv_out")(fused)
-        out = nn.Conv(self.n_classes, (1, 1), dtype=self.dtype, name="conv_out_cls")(out)
+        out = nn.Conv(self.n_classes, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="conv_out_cls")(out)
         return jax.image.resize(out, (b, H, W, self.n_classes), "bilinear")
 
 

@@ -50,3 +50,44 @@ def test_face_parser_interface():
     assert mask.dtype == np.int32
     assert mask.min() >= 0 and mask.max() <= 13
     np.testing.assert_array_equal(parser.parse(img), mask)  # deterministic
+
+
+def test_bisenet_converter_roundtrip():
+    """export → convert reproduces the exact variables; keys carry zllrunning's
+    checkpoint spelling (tools/convert_bisenet, VERDICT r1 §2b faceutils item)."""
+    import flax
+    from makeupdiffuse_tpu.tools.convert_bisenet import (
+        convert_bisenet_state_dict, export_bisenet_torch_names)
+
+    model = BiSeNet()
+    variables = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
+    sd = export_bisenet_torch_names(variables)
+    # spot-check the torch-side naming contract
+    assert "cp.resnet.layer2.0.downsample.0.weight" in sd
+    assert "cp.arm16.conv.bn.running_mean" in sd
+    assert "ffm.convblk.conv.weight" in sd
+    assert "conv_out.conv_out.weight" in sd
+    assert not any(k.endswith("conv_out.conv_out.bias") for k in sd)  # bias-free head
+    # aux-head keys (train-only in the torch repo) are tolerated and dropped
+    sd["conv_out16.conv_out.weight"] = np.zeros((19, 64, 1, 1), np.float32)
+    sd["cp.resnet.bn1.num_batches_tracked"] = np.zeros((), np.int64)
+    back = convert_bisenet_state_dict(sd, variables)
+    flat_a = flax.traverse_util.flatten_dict(variables, sep="/")
+    flat_b = flax.traverse_util.flatten_dict(back, sep="/")
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_a[k]), flat_b[k])
+
+
+def test_bisenet_converter_rejects_mismatch():
+    import pytest as _pytest
+    from makeupdiffuse_tpu.tools.convert_bisenet import (
+        convert_bisenet_state_dict, export_bisenet_torch_names)
+
+    model = BiSeNet()
+    variables = model.init(jax.random.PRNGKey(2), jnp.zeros((1, 64, 64, 3)))
+    sd = export_bisenet_torch_names(variables)
+    del sd["cp.resnet.conv1.weight"]
+    sd["totally.unexpected.weight"] = np.zeros((1,), np.float32)
+    with _pytest.raises(KeyError):
+        convert_bisenet_state_dict(sd, variables)
