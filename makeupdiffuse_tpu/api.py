@@ -125,9 +125,11 @@ def progressive_artifacts(
     z = cfg.scale_factor * (mean + jnp.exp(0.5 * logvar)
                             * jax.random.normal(k_z, mean.shape))
 
-    # diffusion row: t = 0, log_every_t, 2·log_every_t, …, T−1 (:59-71)
+    # diffusion row: t = 0, log_every_t, 2·log_every_t, …, T−1 — the reference's
+    # `t % log_every_t == 0 or t == T-1` (ddpm log_images), no duplicate final
+    # tile when (T-1) % log_every_t == 0
     ts = [t for t in range(sched.num_timesteps)
-          if t % log_every_t == 0] + [sched.num_timesteps - 1]
+          if t % log_every_t == 0 or t == sched.num_timesteps - 1]
     noise = jax.random.normal(k_noise, z.shape)
     z_noisy = jnp.stack([
         sched.q_sample(z, jnp.full((b,), t, jnp.int32), noise) for t in ts

@@ -17,11 +17,23 @@ def enable_tpu_kernels(enable: bool = True) -> bool:
 
 def enable_tpu_kernels_if_tpu() -> bool:
     """Enable the Pallas fast paths iff the default JAX backend is a TPU-like
-    device (the axon plugin registers as a non-cpu platform)."""
+    device (the axon plugin registers as a non-cpu platform).
+
+    NOTE: calling this initializes the JAX backend — drivers must invoke it
+    AFTER any ``--cpu``/``jax_platforms`` handling (backend choice is frozen at
+    first ``jax.devices()`` call; CLAUDE.md ordering constraint)."""
+    import logging
+
     import jax
 
     try:
         platform = jax.devices()[0].platform
-    except Exception:
+    except RuntimeError as e:  # no backend could initialize
+        logging.getLogger(__name__).warning(
+            "Pallas TPU kernels stay DISABLED: backend init failed (%s)", e)
         return False
-    return enable_tpu_kernels(platform not in ("cpu",))
+    enabled = enable_tpu_kernels(platform not in ("cpu",))
+    if not enabled:
+        logging.getLogger(__name__).info(
+            "Pallas TPU kernels disabled: default backend is %r", platform)
+    return enabled

@@ -23,10 +23,11 @@ def _interpret_mode():
     pallas_norm.INTERPRET = False
 
 
-@pytest.mark.parametrize("n,d", [(256, 80), (64, 160), (77, 64)])
-def test_flash_forward_matches_xla(n, d):
+@pytest.mark.parametrize("n,h,d", [(256, 4, 80), (64, 4, 160), (77, 4, 64),
+                                   (1024, 1, 512)])  # last = VAE AttnBlock shape
+def test_flash_forward_matches_xla(n, h, d):
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
-    b, h = 2, 4
+    b = 2
     q = jax.random.normal(k1, (b, n, h, d))
     k = jax.random.normal(k2, (b, n, h, d))
     v = jax.random.normal(k3, (b, n, h, d))
@@ -39,6 +40,28 @@ def test_flash_backward_matches_jnp_grads():
     """Pallas dQ/dK/dV vs jax.grad through the jnp reference (VERDICT r1 #8)."""
     ks = jax.random.split(jax.random.PRNGKey(1), 3)
     b, n, h, d = 2, 130, 3, 40  # deliberately ragged: pads N→256 rows, D→128 lanes
+    q = jax.random.normal(ks[0], (b, n, h, d))
+    k = jax.random.normal(ks[1], (b, n, h, d))
+    v = jax.random.normal(ks[2], (b, n, h, d))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.sin(pallas_attention.flash_attention(q, k, v)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(mha_attention(q, k, v)))
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4)
+
+
+def test_flash_backward_vae_shape():
+    """VAE AttnBlock dispatches flash at (n=1024, h=1, d=512) — larger head dim
+    than any UNet level; training backprops through decode with kernels on
+    (cycle losses), so the Pallas backward must be pinned here too (ADVICE r2)."""
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    b, n, h, d = 1, 1024, 1, 512
     q = jax.random.normal(ks[0], (b, n, h, d))
     k = jax.random.normal(ks[1], (b, n, h, d))
     v = jax.random.normal(ks[2], (b, n, h, d))

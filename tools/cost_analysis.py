@@ -46,13 +46,37 @@ def main():
     bytes_acc = ca.get("bytes accessed", float("nan"))
     print(f"single eps forward (CFG batch {b}): {flops/1e12:.3f} TFLOP, "
           f"{bytes_acc/1e9:.2f} GB accessed")
-    per_batch8 = 100 * flops  # 50 steps x cond/uncond fused = 100 forward-equivs? no:
     # the CFG forward above IS the fused 2x batch, so a 50-step chain = 50 of these
     per_batch8 = 50 * flops
     print(f"50-step chain: {per_batch8/1e12:.1f} TFLOP per batch of 8 images")
-    meas = 1.971  # bench per-batch seconds (BENCH log)
-    print(f"achieved: {per_batch8/meas/1e12:.1f} TFLOPS sustained "
-          f"(v5e bf16 peak ~197 => MFU ~{per_batch8/meas/197e12*100:.0f}%)")
+    meas = _measured_per_batch_seconds()
+    print(f"achieved at {meas:.3f} s/batch: {per_batch8/meas/1e12:.1f} TFLOPS "
+          f"sustained (v5e bf16 peak ~197 => MFU ~{per_batch8/meas/197e12*100:.0f}%)")
+
+
+def _measured_per_batch_seconds() -> float:
+    """Per-batch seconds: --seconds CLI arg, else 8/value from the newest
+    BENCH_r*.json (bench prints images/sec/chip at batch 8)."""
+    import argparse
+    import glob
+    import json
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=float, default=None,
+                    help="measured per-batch seconds (batch 8)")
+    args, _ = ap.parse_known_args()
+    if args.seconds:
+        return args.seconds
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    benches = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+    if not benches:
+        raise SystemExit("no BENCH_r*.json found; pass --seconds")
+    with open(benches[-1]) as f:
+        rec = json.load(f)
+    val = rec["parsed"]["value"]
+    print(f"(per-batch seconds derived from {os.path.basename(benches[-1])}: "
+          f"{val} img/s/chip @ batch 8)")
+    return 8.0 / val
 
 
 if __name__ == "__main__":

@@ -47,13 +47,14 @@ def main():
             x, s, b, 32, 1e-5, act, a))(x, sc, bi, add)
         ok &= check(f"gn_silu {shape} act={act} add={with_add}", fused, ref, 0.1)
 
-    # flash fwd+bwd at the three self-attention levels
-    for n, d in [(1024, 40), (256, 80), (64, 160)]:
-        ks = jax.random.split(jax.random.PRNGKey(n), 3)
-        q, k, v = (jax.random.normal(kk, (4, n, 8, d), jnp.bfloat16) for kk in ks)
+    # flash fwd+bwd at the three UNet self-attention levels + the VAE AttnBlock
+    # shape (1024 tokens, 1 head, d=512 — dispatched by models/vae.py)
+    for n, h, d in [(1024, 8, 40), (256, 8, 80), (64, 8, 160), (1024, 1, 512)]:
+        ks = jax.random.split(jax.random.PRNGKey(n + d), 3)
+        q, k, v = (jax.random.normal(kk, (4, n, h, d), jnp.bfloat16) for kk in ks)
         out = jax.jit(pallas_attention.flash_attention)(q, k, v)
         ref = jax.jit(mha_attention)(q, k, v)
-        ok &= check(f"flash fwd n={n} d={d}", out, ref, 0.05)
+        ok &= check(f"flash fwd n={n} h={h} d={d}", out, ref, 0.05)
 
         loss_f = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
             pallas_attention.flash_attention(q, k, v).astype(jnp.float32) ** 2),
