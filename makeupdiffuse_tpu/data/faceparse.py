@@ -190,6 +190,173 @@ class FaceParser:
         return out if batched else out[0]
 
 
+# ---- parse-derived approximate landmarks (dlib-free fallback) ----------------------
+#
+# The reference needs dlib for its 68-point detector (preprocessing.py:89-94,135-147);
+# this framework degrades gracefully instead of refusing (VERDICT r2 #7): when
+# neither dlib nor an lms/*.npy cache is available, approximate iBUG-68 landmarks
+# are derived from the BiSeNet parse itself — region centroids/extents/contour
+# samples per facial part, with a canonical neutral-face template filling in any
+# part the parse missed. Flag-gated via FacePipeline(parse_fallback=True):
+# APPROXIMATE by construction (good enough for the diff positional field and the
+# region margins, not a dlib replacement).
+
+
+def canonical_landmarks(size: int) -> np.ndarray:
+    """Neutral-face iBUG-68 template scaled to a size² crop, (y, x) float32."""
+    s = float(size)
+    L = np.zeros((68, 2), np.float32)
+    cy, cx, r = 0.52 * s, 0.5 * s, 0.38 * s
+    for i in range(17):  # jaw: left ear → chin → right ear (y-down angles)
+        a = np.pi - i * np.pi / 16
+        L[i] = (cy + 1.05 * r * np.sin(a), cx + r * np.cos(a))
+    for i in range(5):  # brows
+        L[17 + i] = (0.35 * s, (0.25 + 0.0425 * i) * s)
+        L[22 + i] = (0.35 * s, (0.58 + 0.0425 * i) * s)
+    for i in range(4):  # nose bridge
+        L[27 + i] = ((0.40 + 0.05 * i) * s, 0.5 * s)
+    for i in range(5):  # nose bottom
+        L[31 + i] = (0.60 * s, (0.42 + 0.04 * i) * s)
+    for e, ex in ((36, 0.34), (42, 0.66)):  # eyes: 6 pts on an ellipse
+        for k in range(6):
+            a = np.pi + k * np.pi / 3
+            L[e + k] = (0.42 * s + 0.025 * s * np.sin(a),
+                        ex * s + 0.06 * s * np.cos(a))
+    for j in range(12):  # outer lip
+        a = np.pi + j * np.pi / 6
+        L[48 + j] = (0.72 * s + 0.05 * s * np.sin(a), 0.5 * s + 0.12 * s * np.cos(a))
+    for j in range(8):  # inner lip
+        a = np.pi + j * np.pi / 4
+        L[60 + j] = (0.72 * s + 0.02 * s * np.sin(a), 0.5 * s + 0.08 * s * np.cos(a))
+    return L
+
+
+def _contour_points(mask: np.ndarray, center, angles, lower_only=False):
+    """Farthest mask pixel from `center` near each target angle (y-down atan2);
+    returns [len(angles), 2] or None rows where the angle bin is empty."""
+    ys, xs = np.nonzero(mask)
+    cy, cx = center
+    ang = np.arctan2(ys - cy, xs - cx)
+    rad = np.hypot(ys - cy, xs - cx)
+    out = []
+    for a in angles:
+        d = np.abs(np.angle(np.exp(1j * (ang - a))))
+        sel = d < (np.pi / 8)
+        if lower_only:
+            sel &= ys >= cy - 1
+        if not sel.any():
+            out.append(None)
+            continue
+        i = np.argmax(rad * sel - 1e9 * (~sel))
+        out.append((float(ys[i]), float(xs[i])))
+    return out
+
+
+def _slice_curve(mask: np.ndarray, n: int, y_reduce=np.mean):
+    """n points spread across the mask's x-extent; y = y_reduce of each x-slice."""
+    ys, xs = np.nonzero(mask)
+    x0, x1 = xs.min(), xs.max()
+    edges = np.linspace(x0, x1 + 1, n + 1)
+    pts = []
+    for i in range(n):
+        sel = (xs >= edges[i]) & (xs < max(edges[i + 1], edges[i] + 1))
+        if not sel.any():
+            sel = slice(None)
+        pts.append((float(y_reduce(ys[sel])), float(np.mean(xs[sel]))))
+    return pts
+
+
+def landmarks_from_parse(seg: np.ndarray) -> np.ndarray:
+    """Approximate iBUG-68 landmarks [(y, x) float32] from a 14-class face parse
+    (any resolution; coordinates are in the parse's pixel space).
+
+    Per part: jaw = 17 lower-contour ray samples of the face support; brows/nose
+    bottom = x-sliced curves; eyes = 6-point extent ellipses; lips = 12 outer
+    contour samples of u_lip∪l_lip + 8 inner at the u/l boundary zone. Any part
+    absent from the parse keeps the canonical-template points."""
+    H, W = seg.shape
+    L = canonical_landmarks(min(H, W))
+
+    face = np.isin(seg, (1, 2, 3, 4, 5, 6, 7, 8, 9))
+    if not face.any():
+        return L
+    fys, fxs = np.nonzero(face)
+    fc = (float(np.mean(fys)), float(np.mean(fxs)))
+
+    jaw = _contour_points(face, fc, [np.pi - i * np.pi / 16 for i in range(17)],
+                          lower_only=True)
+    for i, p in enumerate(jaw):
+        if p is not None:
+            L[i] = p
+
+    brows = sorted(
+        (b for b in ((seg == c) for c in (2, 3)) if b.any()),
+        key=lambda b: np.nonzero(b)[1].mean(),
+    )
+    if len(brows) == 2:
+        for start, b in zip((17, 22), brows):
+            L[start:start + 5] = _slice_curve(b, 5)
+
+    nose = seg == 6
+    if nose.any():
+        nys, nxs = np.nonzero(nose)
+        y0, y1 = nys.min(), nys.max()
+        x_mid = float(np.mean(nxs))
+        for i in range(4):  # bridge: top → 3/4 down the nose, on its center line
+            L[27 + i] = (y0 + (y1 - y0) * (0.25 * i + 0.1), x_mid)
+        L[31:36] = _slice_curve(nose, 5, y_reduce=np.max)  # bottom edge
+
+    eyes = sorted(
+        (e for e in ((seg == c) for c in (4, 5)) if e.any()),
+        key=lambda e: np.nonzero(e)[1].mean(),
+    )
+    if len(eyes) == 2:
+        for start, e in zip((36, 42), eyes):
+            eys, exs = np.nonzero(e)
+            ec = (float(np.mean(eys)), float(np.mean(exs)))
+            ry = max((eys.max() - eys.min()) / 2.0, 1.0)
+            rx = max((exs.max() - exs.min()) / 2.0, 1.0)
+            for k in range(6):
+                a = np.pi + k * np.pi / 3
+                L[start + k] = (ec[0] + ry * np.sin(a), ec[1] + rx * np.cos(a))
+
+    lips = np.isin(seg, (7, 9))
+    if lips.any():
+        lys, lxs = np.nonzero(lips)
+        lc = (float(np.mean(lys)), float(np.mean(lxs)))
+        outer = _contour_points(
+            lips, lc, [np.pi + j * np.pi / 6 for j in range(12)])
+        for j, p in enumerate(outer):
+            if p is not None:
+                L[48 + j] = p
+        for j in range(8):  # inner ring at 55% of the outer radius
+            a = np.pi + j * np.pi / 4
+            o = outer[int(round(j * 12 / 8)) % 12]
+            if o is not None:
+                L[60 + j] = (lc[0] + 0.55 * (o[0] - lc[0]),
+                             lc[1] + 0.55 * (o[1] - lc[1]))
+
+    L[:, 0] = np.clip(L[:, 0], 0, H - 1)
+    L[:, 1] = np.clip(L[:, 1], 0, W - 1)
+    return L
+
+
+def face_box_from_parse(seg: np.ndarray, margin: float = 0.1):
+    """(left, top, right, bottom) bbox of the face support with a margin — the
+    detector-free fallback for FacePipeline (crop_face box convention). None when
+    the parse found no face."""
+    face = np.isin(seg, (1, 2, 3, 4, 5, 6, 7, 8, 9))
+    if not face.any():
+        return None
+    ys, xs = np.nonzero(face)
+    h = ys.max() - ys.min() + 1
+    w = xs.max() - xs.min() + 1
+    m = margin
+    return (max(0, int(xs.min() - m * w)), max(0, int(ys.min() - m * h)),
+            min(seg.shape[1], int(xs.max() + m * w)),
+            min(seg.shape[0], int(ys.max() + m * h)))
+
+
 def detect_landmarks(image: np.ndarray) -> Optional[np.ndarray]:
     """68-point landmarks via dlib when available (the reference's detector,
     preprocessing.py:89-94); returns None otherwise — callers fall back to the

@@ -141,11 +141,24 @@ class FacePipeline:
     uses the offline lms/*.npy cache exactly like the reference)."""
 
     def __init__(self, face_parser=None, detector=None, landmarker=None,
-                 img_size: int = 256):
+                 img_size: int = 256, parse_fallback: bool = False):
         self.img_size = img_size
         self.face_parser = face_parser
         self.detector = detector
         self.landmarker = landmarker
+        # parse_fallback=True: with a face_parser but no detector/landmarker,
+        # derive the face box and APPROXIMATE 68-point landmarks from the BiSeNet
+        # parse itself (faceparse.face_box_from_parse / landmarks_from_parse) so a
+        # raw uint8 image processes end-to-end with zero external assets. The
+        # reference refuses without dlib (preprocessing.py:89-94); this degrades
+        # gracefully instead — flag-gated because the landmarks are approximate.
+        self.parse_fallback = parse_fallback
+
+    def _parse_resized(self, image: np.ndarray) -> np.ndarray:
+        """Parse any-size uint8 RGB at the parser's native 512² → [512,512] int32."""
+        big = np.asarray(
+            Image.fromarray(image).resize((512, 512), Image.BILINEAR))
+        return self.face_parser.parse(big)
 
     def __call__(self, image: np.ndarray, face_box=None, lms=None):
         """image uint8 [H,W,3]. Returns (image [-1,1], mask_full, diff, lms) or None
@@ -153,12 +166,24 @@ class FacePipeline:
         from ..utils import native
 
         if face_box is None:
-            if self.detector is None:
+            if self.detector is not None:
+                boxes = self.detector(image)
+                if not boxes:
+                    return None
+                face_box = boxes[0]
+            elif self.parse_fallback and self.face_parser is not None:
+                from .faceparse import face_box_from_parse
+
+                face_box = face_box_from_parse(self._parse_resized(image))
+                if face_box is None:
+                    return None
+                # parse ran at 512²; rescale the box to image coordinates
+                sy = image.shape[0] / 512.0
+                sx = image.shape[1] / 512.0
+                face_box = (int(face_box[0] * sx), int(face_box[1] * sy),
+                            int(face_box[2] * sx), int(face_box[3] * sy))
+            else:
                 return None
-            boxes = self.detector(image)
-            if not boxes:
-                return None
-            face_box = boxes[0]
         crop, face_in_crop = crop_face(image, face_box)
         if self.face_parser is not None:
             from PIL import Image as PILImage
@@ -171,10 +196,15 @@ class FacePipeline:
         else:
             mask = np.zeros((self.img_size, self.img_size), np.int32)
         if lms is None:
-            if self.landmarker is None:
+            if self.landmarker is not None:
+                lms = self.landmarker(crop, face_in_crop)
+                lms = (lms * self.img_size / crop.shape[1]).round().astype(np.int32)
+            elif self.parse_fallback and self.face_parser is not None:
+                from .faceparse import landmarks_from_parse
+
+                lms = landmarks_from_parse(mask).round().astype(np.int32)
+            else:
                 return None
-            lms = self.landmarker(crop, face_in_crop)
-            lms = (lms * self.img_size / crop.shape[1]).round().astype(np.int32)
             lms = np.clip(lms, 0, self.img_size - 1)
             lms = fix_lip_landmarks(lms)
         img = native.resize_normalize(crop, self.img_size)

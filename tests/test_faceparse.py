@@ -91,3 +91,102 @@ def test_bisenet_converter_rejects_mismatch():
     sd["totally.unexpected.weight"] = np.zeros((1,), np.float32)
     with _pytest.raises(KeyError):
         convert_bisenet_state_dict(sd, variables)
+
+
+# ---- parse-derived landmark fallback (VERDICT r2 #7) -------------------------------
+
+def _synthetic_seg(H=256):
+    """Face parse with every part present: oval face, brows, eyes, nose, lips."""
+    seg = np.zeros((H, H), np.int32)
+    yy, xx = np.mgrid[0:H, 0:H].astype(np.float32)
+    face = ((yy - 0.52 * H) / (0.38 * H)) ** 2 + ((xx - 0.5 * H) / (0.3 * H)) ** 2 < 1
+    seg[face] = 1
+    seg[int(0.34 * H):int(0.37 * H), int(0.28 * H):int(0.42 * H)] = 2   # l brow
+    seg[int(0.34 * H):int(0.37 * H), int(0.58 * H):int(0.72 * H)] = 3   # r brow
+    seg[int(0.42 * H):int(0.46 * H), int(0.30 * H):int(0.40 * H)] = 4   # l eye
+    seg[int(0.42 * H):int(0.46 * H), int(0.60 * H):int(0.70 * H)] = 5   # r eye
+    seg[int(0.46 * H):int(0.62 * H), int(0.46 * H):int(0.54 * H)] = 6   # nose
+    seg[int(0.68 * H):int(0.72 * H), int(0.40 * H):int(0.60 * H)] = 7   # u lip
+    seg[int(0.72 * H):int(0.76 * H), int(0.40 * H):int(0.60 * H)] = 9   # l lip
+    return seg
+
+
+def test_landmarks_from_parse_shapes_and_placement():
+    from makeupdiffuse_tpu.data.faceparse import landmarks_from_parse
+
+    H = 256
+    seg = _synthetic_seg(H)
+    lms = landmarks_from_parse(seg)
+    assert lms.shape == (68, 2) and lms.dtype == np.float32
+    assert (lms >= 0).all() and (lms[:, 0] < H).all() and (lms[:, 1] < H).all()
+    # jaw: below the face centroid mid-line, chin point near the bottom of the oval
+    assert lms[8, 0] > 0.8 * H
+    # brows sit in the brow band; left block left of right block
+    assert lms[17:27, 0].mean() < 0.45 * H
+    assert lms[17:22, 1].mean() < lms[22:27, 1].mean()
+    # eyes: each 6-point ring centered in its eye box
+    assert abs(lms[36:42, 1].mean() - 0.35 * H) < 0.06 * H
+    assert abs(lms[42:48, 1].mean() - 0.65 * H) < 0.06 * H
+    # nose bottom on the nose's lower edge
+    assert abs(lms[31:36, 0].mean() - 0.62 * H) < 0.04 * H
+    # outer lip ring surrounds the lip box; inner ring strictly inside outer extent
+    assert lms[48:60, 1].min() < 0.42 * H and lms[48:60, 1].max() > 0.58 * H
+    inner_w = lms[60:68, 1].max() - lms[60:68, 1].min()
+    outer_w = lms[48:60, 1].max() - lms[48:60, 1].min()
+    assert inner_w < outer_w
+
+
+def test_landmarks_from_parse_degenerate_inputs():
+    from makeupdiffuse_tpu.data.faceparse import (canonical_landmarks,
+                                                  landmarks_from_parse)
+
+    H = 128
+    # empty parse → canonical template, finite and in-bounds
+    lms = landmarks_from_parse(np.zeros((H, H), np.int32))
+    np.testing.assert_array_equal(lms, canonical_landmarks(H))
+    # face only (no parts) → jaw from contour, parts from template; in-bounds
+    seg = np.zeros((H, H), np.int32)
+    seg[20:110, 30:100] = 1
+    lms2 = landmarks_from_parse(seg)
+    assert lms2.shape == (68, 2)
+    assert (lms2 >= 0).all() and (lms2 < H).all()
+
+
+def test_face_box_from_parse():
+    from makeupdiffuse_tpu.data.faceparse import face_box_from_parse
+
+    seg = _synthetic_seg(256)
+    box = face_box_from_parse(seg)
+    l, t, r, b = box
+    assert 0 <= l < r <= 256 and 0 <= t < b <= 256
+    ys, xs = np.nonzero(seg > 0)
+    assert l <= xs.min() and r >= xs.max() and t <= ys.min() and b >= ys.max()
+    assert face_box_from_parse(np.zeros((64, 64), np.int32)) is None
+
+
+def test_face_pipeline_parse_fallback_end_to_end():
+    """Raw uint8 image → (image, mask, diff, lms) with ZERO external assets:
+    no dlib, no lms cache, no detector (VERDICT r2 #7 done-criterion)."""
+    from makeupdiffuse_tpu.data.preprocess import FacePipeline
+
+    H = 256
+    seg512 = np.kron(_synthetic_seg(256), np.ones((2, 2), np.int32))  # 512²
+
+    class StubParser:  # deterministic parse (real BiSeNet covered elsewhere)
+        def parse(self, image):
+            assert image.shape == (512, 512, 3)
+            return seg512
+
+    pipe = FacePipeline(face_parser=StubParser(), parse_fallback=True, img_size=H)
+    raw = np.random.RandomState(0).randint(0, 255, (300, 280, 3), np.uint8)
+    out = pipe(raw)
+    assert out is not None
+    img, mask4, diff, lms = out
+    assert img.shape == (H, H, 3) and img.min() >= -1 and img.max() <= 1
+    assert mask4.shape == (H, H, 4)
+    assert diff.shape == (H, H, 136) and diff.dtype == np.float32
+    assert lms.shape == (68, 2) and lms.dtype == np.int32
+    assert (lms >= 0).all() and (lms < H).all()
+    # without the flag the dlib-free pipeline still refuses (reference behavior)
+    pipe2 = FacePipeline(face_parser=StubParser(), parse_fallback=False, img_size=H)
+    assert pipe2(raw) is None
