@@ -122,32 +122,41 @@ def precompute_prompt_bank(encoder_apply, params, max_length: int = 77) -> Dict[
     }
 
 
+class PlaceholderPromptError(ValueError):
+    """Converted production weights + placeholder prompt ids = silently wrong
+    conditioning. Raised unless the caller explicitly opts in."""
+
+
 def load_context_bank(converted: Dict, encoder_apply=None, params=None,
-                      max_length: int = 77) -> Dict[str, jnp.ndarray]:
+                      max_length: int = 77,
+                      allow_placeholder: bool = False) -> Dict[str, jnp.ndarray]:
     """Fixed-prompt contexts for a CONVERTED checkpoint pickle.
 
     Prefers the (77, width) context vectors exported at conversion time
-    (tools/convert_torch_ckpt.export_context_bank); warns if those were encoded
-    from placeholder ids, and warns + falls back to encoding the placeholders when
-    the pickle predates the export — converted production weights with placeholder
-    token ids produce wrong conditioning for the word tokens (the SOT/EOT
-    structure is right, the words are not)."""
+    (tools/convert_torch_ckpt.export_context_bank). If those were encoded from
+    placeholder ids — or the pickle predates the export and the only option is
+    encoding the placeholder ids with the converted tower — the word-token
+    conditioning is WRONG (the SOT/EOT structure is right, the words are not),
+    so this REFUSES with :class:`PlaceholderPromptError` unless
+    ``allow_placeholder=True`` (drivers: ``--allow-placeholder-prompts``).
+    A scripted run must not silently produce wrong-word conditioning
+    (VERDICT r2 Weak #7)."""
     import warnings
+
+    def gate(msg: str) -> None:
+        if not allow_placeholder:
+            raise PlaceholderPromptError(
+                msg + " — pass --allow-placeholder-prompts (or "
+                "allow_placeholder=True) to proceed anyway, or re-convert with "
+                "--bpe-vocab for production-correct conditioning")
+        warnings.warn(msg, stacklevel=3)
 
     cb = converted.get("context_bank")
     if cb is not None:
         if cb.get("ids_source") == "placeholder":
-            warnings.warn(
-                "context bank was exported from PLACEHOLDER prompt ids — "
-                "re-convert with --bpe-vocab for production-correct conditioning",
-                stacklevel=2,
-            )
+            gate("context bank was exported from PLACEHOLDER prompt ids")
         return {k: jnp.asarray(v) for k, v in cb["bank"].items()}
-    warnings.warn(
-        "converted checkpoint carries no context bank; encoding PLACEHOLDER "
-        "prompt ids with the converted tower — conditioning will be wrong for "
-        "the prompt words. Re-run tools/convert_torch_ckpt.py to export the bank.",
-        stacklevel=2,
-    )
+    gate("converted checkpoint carries no context bank; encoding PLACEHOLDER "
+         "prompt ids with the converted tower")
     assert encoder_apply is not None and params is not None
     return precompute_prompt_bank(encoder_apply, params, max_length)

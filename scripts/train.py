@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--steps-per-epoch", type=int, default=None)
+    ap.add_argument("--allow-placeholder-prompts", action="store_true",
+                    help="proceed with placeholder CLIP prompt ids (wrong-word "
+                         "conditioning) on converted weights")
     ap.add_argument("--tiny", action="store_true", help="tiny model (CI/smoke)")
     args = ap.parse_args()
 
@@ -94,7 +97,8 @@ def main():
     if loaded is not None:
         from makeupdiffuse_tpu.models.clip_text import load_context_bank
 
-        bank = load_context_bank(loaded, enc, params, max_length=m.clip.max_length)
+        bank = load_context_bank(loaded, enc, params, max_length=m.clip.max_length,
+                                 allow_placeholder=args.allow_placeholder_prompts)
     else:
         bank = precompute_prompt_bank(enc, params, max_length=m.clip.max_length)
     ctx_row = bank["makeup transfer"]
