@@ -45,6 +45,11 @@ def build_teacher(teacher_type: str, **kwargs) -> Teacher:
         from .pgt import PGTTeacher
         return PGTTeacher(**kwargs)
     if teacher_type == "ELEGANT":
+        # converted real-topology weights (tools/convert_elegant) → the faithful
+        # sow-pyramid twin; otherwise the TPU-first re-architecture default
+        if kwargs.pop("sow", False) or "sow_params" in kwargs:
+            from .elegant_sow import ElegantSowTeacher
+            return ElegantSowTeacher(kwargs.pop("sow_params"), **kwargs)
         from .elegant import EleGANtTeacher
         return EleGANtTeacher(**kwargs)
     if teacher_type == "SCGAN":
