@@ -53,6 +53,11 @@ def build_teacher(teacher_type: str, **kwargs) -> Teacher:
         from .elegant import EleGANtTeacher
         return EleGANtTeacher(**kwargs)
     if teacher_type == "SCGAN":
+        # converted real-topology G.pth weights (tools/convert_scgen) → the
+        # faithful MUNIT-topology twin; otherwise the TPU-first default
+        if "munit_params" in kwargs:
+            from .scgen_munit import SCGenMunitTeacher
+            return SCGenMunitTeacher(kwargs.pop("munit_params"), **kwargs)
         from .scgan import SCGanTeacher
         return SCGanTeacher(**kwargs)
     if teacher_type in _REGISTRY:

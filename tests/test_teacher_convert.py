@@ -119,3 +119,78 @@ def test_sow_teacher_adapter(converted):
     assert out.shape == (1, H, H, 3)
     assert np.isfinite(np.asarray(out)).all()
     assert float(jnp.max(jnp.abs(out))) <= 1.0
+
+
+# ---- SCGAN SCGen (G.pth) — /root/reference/diffmk/teacher.py:12-23,88-93 -----------
+
+from makeupdiffuse_tpu.teacher.scgen_munit import SCGenMunit
+from makeupdiffuse_tpu.tools.convert_scgen import (convert_scgen_state_dict,
+                                                   expected_scgen_keys)
+from makeupdiffuse_tpu.tools.torch_scgen import SCGenTorch
+
+SC_KW = dict(dim=8, style_dim=24, n_downsample=2, n_res=2, mlp_dim=32)
+SH = 32
+
+
+def _sc_template(model):
+    dummy = (jnp.zeros((1, SH, SH, 3)),) * 2 + (jnp.zeros((1, SH, SH, 3)),) * 2
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), *dummy))
+    return jax.tree_util.tree_map(lambda s: np.zeros(s.shape, s.dtype), shapes)
+
+
+@pytest.fixture(scope="module")
+def sc_converted():
+    tkw = dict(SC_KW)
+    tm = SCGenTorch(**tkw)
+    torch.manual_seed(1)
+    for p in tm.parameters():
+        with torch.no_grad():
+            p.add_(0.05 * torch.randn_like(p))
+    fkw = {k: v for k, v in SC_KW.items()}
+    fm = SCGenMunit(**fkw)
+    params = convert_scgen_state_dict(tm.state_dict(), _sc_template(fm))
+    return tm, fm, params
+
+
+def test_scgen_key_manifest_and_rejects():
+    keys = expected_scgen_keys(**SC_KW)
+    assert "FIEnc.model.0.conv.weight" in keys
+    assert "PSEnc.fc.weight" in keys
+    assert "fuse.mlp.model.0.weight" in keys
+    assert "fuse.model.1.norm.gamma" in keys
+    tm = SCGenTorch(**SC_KW)
+    fm = SCGenMunit(**SC_KW)
+    tmpl = _sc_template(fm)
+    import flax
+    params = convert_scgen_state_dict(tm.state_dict(), tmpl)
+    assert len(flax.traverse_util.flatten_dict(params["params"])) == len(keys)
+    bad = dict(tm.state_dict())
+    bad.pop("fuse.mlp.model.4.bias")
+    with pytest.raises(ValueError, match="missing"):
+        convert_scgen_state_dict(bad, tmpl)
+    bad = dict(tm.state_dict())
+    bad["PSEnc.fc.weight"] = torch.zeros(3, 3, 1, 1)
+    with pytest.raises(AssertionError, match="PSEnc.fc.weight"):
+        convert_scgen_state_dict(bad, tmpl)
+
+
+def test_scgen_torch_flax_forward_parity(sc_converted):
+    tm, fm, params = sc_converted
+    rng = np.random.RandomState(4)
+    makeup = rng.uniform(-1, 1, (2, SH, SH, 3)).astype(np.float32)
+    nonmakeup = rng.uniform(-1, 1, (2, SH, SH, 3)).astype(np.float32)
+    seg_m = (rng.uniform(0, 1, (2, SH, SH, 3)) > 0.5).astype(np.float32)
+    seg_n = (rng.uniform(0, 1, (2, SH, SH, 3)) > 0.5).astype(np.float32)
+
+    got = np.asarray(fm.apply(params, jnp.asarray(makeup), jnp.asarray(nonmakeup),
+                              jnp.asarray(seg_m), jnp.asarray(seg_n)))
+
+    def t(x):
+        return torch.from_numpy(x.transpose(0, 3, 1, 2))
+
+    with torch.no_grad():
+        want = tm(t(makeup), t(nonmakeup), t(seg_m), t(seg_n))
+    want = want.permute(0, 2, 3, 1).numpy()
+    assert got.shape == want.shape == (2, SH, SH, 3)
+    err = np.max(np.abs(got - want))
+    assert err < 1e-4, f"torch/flax SCGen mismatch: max abs err {err}"
