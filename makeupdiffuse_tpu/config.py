@@ -150,6 +150,7 @@ class TrainConfig:
     sd_locked: bool = True
     logger_freq: int = 200
     ckpt_every_steps: int = 200
+    metrics_every: int = 10  # fetch device metrics every N steps (async dispatch)
     seed: int = 0
     num_epochs: int = 100
     steps_per_epoch: int = 0  # 0 → len(dataset)//batch_size

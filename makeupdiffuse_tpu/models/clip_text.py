@@ -66,6 +66,11 @@ class CLIPTextEncoder(nn.Module):
     def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
         """input_ids [B, max_length] int32 → last hidden state [B, max_length, width]."""
         cfg = self.cfg
+        # Fold ids into the vocab: identity for the real 49408-token vocab, and a
+        # guard for reduced-vocab (tiny test) configs where the fixed PROMPT_IDS
+        # (real CLIP ids ~49k) would otherwise hit jnp.take's out-of-bounds
+        # fill-with-NaN mode and silently poison every downstream loss.
+        input_ids = jnp.remainder(input_ids, cfg.vocab_size)
         tok = nn.Embed(cfg.vocab_size, cfg.width, dtype=self.dtype, name="token_embedding")(
             input_ids
         )

@@ -29,8 +29,12 @@ class CheckpointManager:
             ),
         )
 
-    def maybe_save(self, state: TrainState, force: bool = False) -> bool:
-        step = int(state.step)
+    def maybe_save(self, state: TrainState, force: bool = False,
+                   step: int | None = None) -> bool:
+        # callers that track the step host-side pass it in — int(state.step) is a
+        # blocking device sync that would serialize the async dispatch pipeline
+        if step is None:
+            step = int(state.step)
         if not force and (self.every_steps <= 0 or step % self.every_steps != 0):
             return False
         payload = dict(

@@ -72,3 +72,15 @@ def test_refresh_prompt_ids_and_bank():
     finally:
         PROMPT_IDS.clear()
         PROMPT_IDS.update(saved)
+
+
+def test_reduced_vocab_prompt_bank_is_finite(tiny_model_session):
+    """Regression: the fixed PROMPT_IDS carry real CLIP ids (~49k); with a tiny
+    test vocab (256) those were out-of-bounds for nn.Embed, and jnp.take's
+    oob fill mode returned NaN embeddings that silently poisoned every synthetic
+    train loss. CLIPTextEncoder folds ids by vocab_size (identity at 49408)."""
+    cfg, model, params = tiny_model_session
+    enc = lambda p, i: model.apply(p, i, method=model.encode_text)
+    bank = precompute_prompt_bank(enc, params, cfg.model.clip.max_length)
+    for k, v in bank.items():
+        assert bool(jnp.isfinite(v).all()), f"prompt bank {k!r} has non-finite rows"

@@ -1,0 +1,186 @@
+"""On-chip jax.profiler trace of the bench pipeline's hot op (VERDICT r2 #2).
+
+Per-dispatch host timings through the axon tunnel mis-rank ops by >100x
+(CLAUDE.md), but DEVICE-side trace events ("XLA Ops" on /device:TPU:0) are
+recorded by the TPU itself and are trustworthy — a 2048^3 bf16 matmul shows
+189 TFLOPS, consistent with v5e peak.
+
+Traces the CFG-doubled eps forward (batch 16 = the 50x-repeated body of the
+north-star 50-step chain) and, optionally (--full), the whole sampling
+pipeline. Prints a per-category and top-op table of device time shares.
+
+Usage: python tools/profile_chain.py [--full] [--batch 16] [--repeats 10]
+"""
+import argparse
+import collections
+import dataclasses
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax"))
+
+import jax
+import jax.numpy as jnp
+
+
+CATEGORIES = [
+    ("pallas_flash_attn", re.compile(r"custom-call.*(flash|attn)", re.I)),
+    ("pallas_fused_norm", re.compile(r"custom-call.*(norm|group)", re.I)),
+    ("custom_call_other", re.compile(r"custom-call", re.I)),
+    ("convolution", re.compile(r"convolution|conv")),
+    ("matmul", re.compile(r"dot|einsum")),
+    ("reduce", re.compile(r"reduce")),
+    ("copy/transpose", re.compile(r"copy|transpose|bitcast|reshape")),
+    ("dynamic-slice/update", re.compile(r"dynamic")),
+    ("fusion_other", re.compile(r"fusion")),
+]
+
+
+def categorize(name: str, long_name: str) -> str:
+    s = (name + " " + long_name)
+    for cat, rx in CATEGORIES:
+        if rx.search(s):
+            return cat
+    return "other"
+
+
+def parse_trace(trace_dir: str):
+    paths = glob.glob(os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz"))
+    assert paths, f"no trace written under {trace_dir}"
+    with gzip.open(sorted(paths)[-1]) as f:
+        data = json.load(f)
+    ev = data["traceEvents"]
+    pnames, tnames = {}, {}
+    for e in ev:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pnames[e["pid"]] = e["args"]["name"]
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tnames[(e["pid"], e.get("tid"))] = e["args"]["name"]
+    ops = []
+    for e in ev:
+        if e.get("ph") != "X":
+            continue
+        if "device:TPU" not in pnames.get(e["pid"], ""):
+            continue
+        if tnames.get((e["pid"], e.get("tid"))) != "XLA Ops":
+            continue
+        args = e.get("args") or {}
+        ops.append((e["name"], args.get("long_name", args.get("hlo_op", "")),
+                    float(e.get("dur", 0.0))))
+    return ops
+
+
+def report(ops, total_label: str):
+    total = sum(d for _, _, d in ops)
+    by_cat = collections.Counter()
+    by_op = collections.Counter()
+    for name, long_name, dur in ops:
+        by_cat[categorize(name, long_name)] += dur
+        by_op[name] += dur
+    print(f"\n== {total_label}: device busy {total/1e3:.3f} ms across {len(ops)} op events ==")
+    print(f"{'category':24s} {'ms':>10s} {'share':>7s}")
+    for cat, dur in by_cat.most_common():
+        print(f"{cat:24s} {dur/1e3:10.3f} {100*dur/total:6.1f}%")
+    print("\ntop 25 ops by device time:")
+    for name, dur in by_op.most_common(25):
+        print(f"  {100*dur/total:5.1f}%  {dur/1e3:9.3f} ms  {name}")
+    return total, by_cat
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16, help="CFG-doubled batch")
+    ap.add_argument("--repeats", type=int, default=10)
+    ap.add_argument("--full", action="store_true",
+                    help="also trace the full 50-step pipeline (one call)")
+    ap.add_argument("--no-kernels", action="store_true",
+                    help="profile with Pallas kernels disabled (XLA-only baseline)")
+    args = ap.parse_args()
+
+    from makeupdiffuse_tpu.config import ModelConfig
+    from makeupdiffuse_tpu.core.ddim import DDIMTables, ddim_sample
+    from makeupdiffuse_tpu.core.schedule import DiffusionSchedule
+    from makeupdiffuse_tpu.models.controlled_ldm import fast_init_model, make_denoiser
+    from makeupdiffuse_tpu.ops import enable_tpu_kernels
+
+    enable_tpu_kernels(not args.no_kernels)
+    base = ModelConfig()
+    cfg = dataclasses.replace(
+        base,
+        unet=dataclasses.replace(base.unet, use_checkpoint=False),
+        control=dataclasses.replace(base.control, use_checkpoint=False),
+    )
+    model, params = fast_init_model(cfg)
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, params
+    )
+    params = jax.device_put(params, jax.devices()[0])
+
+    b = args.batch
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+    x = jax.random.normal(ks[0], (b, cfg.latent_size, cfg.latent_size, 4))
+    t = jnp.full((b,), 500, jnp.int32)
+    ctx = jax.random.normal(ks[1], (b, cfg.clip.max_length, cfg.unet.context_dim))
+    hint = jax.random.uniform(ks[2], (b, cfg.image_size, cfg.image_size, 6))
+
+    fwd = jax.jit(lambda p, x: model.apply(p, x, t, ctx, hint, method=model.apply_eps))
+    fwd(params, x).block_until_ready()  # compile outside the trace
+
+    tdir = tempfile.mkdtemp(prefix="mdt_prof_")
+    with jax.profiler.trace(tdir):
+        for _ in range(args.repeats):
+            fwd(params, x).block_until_ready()
+    ops = parse_trace(tdir)
+    total, _ = report(ops, f"eps forward x{args.repeats} (CFG batch {b})")
+    per_fwd_ms = total / 1e3 / args.repeats
+    print(f"\nper-forward device time: {per_fwd_ms:.2f} ms "
+          f"-> 50-step chain lower bound {50*per_fwd_ms/1e3:.3f} s/batch "
+          f"({8/(50*per_fwd_ms/1e3):.2f} img/s at batch 8)")
+
+    if args.full:
+        H = cfg.image_size
+        b8 = 8
+        sched = DiffusionSchedule.create(timesteps=cfg.timesteps)
+        tables = DDIMTables.create(sched, num_steps=50, eta=0.0)
+        src = jax.random.uniform(ks[3], (b8, H, H, 3))
+        ref = jax.random.uniform(ks[4], (b8, H, H, 3))
+        c8 = jax.random.normal(ks[5], (b8, cfg.clip.max_length, cfg.unet.context_dim))
+        u8 = jax.random.normal(ks[6], (b8, cfg.clip.max_length, cfg.unet.context_dim))
+        pgt = jax.random.uniform(ks[7], (b8, H, H, 3)) * 2 - 1
+
+        @jax.jit
+        def pipeline(params, pgt, src, ref, ctx, uc, rng):
+            k_z, k_T = jax.random.split(rng)
+            mean, logvar = model.apply(params, pgt, method=model.encode_moments)
+            z = cfg.scale_factor * (
+                mean + jnp.exp(0.5 * logvar) * jax.random.normal(k_z, mean.shape))
+            hint = jnp.concatenate([src, ref], axis=-1)
+            den = make_denoiser(model, params, ctx, hint, uncond_context=uc,
+                                cfg_scale=9.0)
+            x_T = jax.random.normal(k_T, z.shape)
+            z_out = ddim_sample(den, x_T, tables)
+            img = model.apply(params, z_out, method=model.decode_latent)
+            return jnp.clip(img, -1.0, 1.0)
+
+        pipeline(params, pgt, src, ref, c8, u8, jax.random.PRNGKey(1)).block_until_ready()
+        t0 = time.time()
+        tdir2 = tempfile.mkdtemp(prefix="mdt_prof_full_")
+        with jax.profiler.trace(tdir2):
+            pipeline(params, pgt, src, ref, c8, u8,
+                     jax.random.PRNGKey(2)).block_until_ready()
+        wall = time.time() - t0
+        ops2 = parse_trace(tdir2)
+        total2, _ = report(ops2, "full pipeline, one call (50-step cDDIM CFG9 b8)")
+        print(f"\nwall {wall:.3f} s vs device busy {total2/1e6:.3f} s "
+              f"(gap = host/dispatch/transfer idle)")
+
+
+if __name__ == "__main__":
+    main()
