@@ -99,14 +99,11 @@ def main():
         print(json.dumps(result))
         return
 
-    model, params = fast_init_model(cfg)
     # inference-grade weights: bf16 on device. Keeps 2.85 GB (not 5.7) of weight
     # traffic per forward and drops the per-use f32→bf16 casts; norms still
     # compute in f32 internally (GroupNorm32/LayerNorm upcast their inputs).
-    params = jax.tree_util.tree_map(
-        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, params
-    )
-    params = jax.device_put(params, jax.devices()[0])
+    # Casting host-side ALSO halves the 5.6 GB startup transfer to the chip.
+    model, params = fast_init_model(cfg, param_dtype=jnp.bfloat16)
     sched = DiffusionSchedule.create(timesteps=cfg.timesteps)
 
     # ---- config 2: teacher forward x_p at 256², batch 1 ---------------------------

@@ -23,17 +23,38 @@ def _interpret_mode():
     pallas_norm.INTERPRET = False
 
 
-@pytest.mark.parametrize("n,h,d", [(256, 4, 80), (64, 4, 160), (77, 4, 64),
-                                   (1024, 1, 512)])  # last = VAE AttnBlock shape
-def test_flash_forward_matches_xla(n, h, d):
+@pytest.mark.parametrize("n,s,h,d", [(256, 256, 4, 80), (64, 64, 4, 160),
+                                     (77, 77, 4, 64),
+                                     (1024, 1024, 1, 512),  # VAE AttnBlock shape
+                                     (256, 77, 4, 40),      # CLIP cross-attention
+                                     (1024, 77, 2, 40)])
+def test_flash_forward_matches_xla(n, s, h, d):
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     b = 2
     q = jax.random.normal(k1, (b, n, h, d))
-    k = jax.random.normal(k2, (b, n, h, d))
-    v = jax.random.normal(k3, (b, n, h, d))
+    k = jax.random.normal(k2, (b, s, h, d))
+    v = jax.random.normal(k3, (b, s, h, d))
     out = pallas_attention.flash_attention(q, k, v)
     ref = mha_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_backward_cross_shape():
+    """Cross-attention (n≠s, 77-token KV) backward — now on the flash path since
+    FLASH_MIN_SEQ gates on q-length only."""
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    b, n, s, h, d = 2, 256, 77, 2, 40
+    q = jax.random.normal(ks[0], (b, n, h, d))
+    k = jax.random.normal(ks[1], (b, s, h, d))
+    v = jax.random.normal(ks[2], (b, s, h, d))
+
+    def loss(attn):
+        return lambda q, k, v: jnp.sum(jnp.sin(attn(q, k, v)))
+
+    g_flash = jax.grad(loss(pallas_attention.flash_attention), argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss(mha_attention), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4)
 
 
 def test_flash_backward_matches_jnp_grads():

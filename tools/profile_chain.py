@@ -117,11 +117,7 @@ def main():
         unet=dataclasses.replace(base.unet, use_checkpoint=False),
         control=dataclasses.replace(base.control, use_checkpoint=False),
     )
-    model, params = fast_init_model(cfg)
-    params = jax.tree_util.tree_map(
-        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, params
-    )
-    params = jax.device_put(params, jax.devices()[0])
+    model, params = fast_init_model(cfg, param_dtype=jnp.bfloat16)
 
     b = args.batch
     ks = jax.random.split(jax.random.PRNGKey(0), 8)
@@ -130,13 +126,16 @@ def main():
     ctx = jax.random.normal(ks[1], (b, cfg.clip.max_length, cfg.unet.context_dim))
     hint = jax.random.uniform(ks[2], (b, cfg.image_size, cfg.image_size, 6))
 
-    fwd = jax.jit(lambda p, x: model.apply(p, x, t, ctx, hint, method=model.apply_eps))
-    fwd(params, x).block_until_ready()  # compile outside the trace
+    # t/ctx/hint are ARGUMENTS — a closure would inline them as HLO constants and
+    # the remote compile constant-folds for minutes (bench config-1 regression)
+    fwd = jax.jit(lambda p, x, t, c, h: model.apply(p, x, t, c, h,
+                                                    method=model.apply_eps))
+    fwd(params, x, t, ctx, hint).block_until_ready()  # compile outside the trace
 
     tdir = tempfile.mkdtemp(prefix="mdt_prof_")
     with jax.profiler.trace(tdir):
         for _ in range(args.repeats):
-            fwd(params, x).block_until_ready()
+            fwd(params, x, t, ctx, hint).block_until_ready()
     ops = parse_trace(tdir)
     total, _ = report(ops, f"eps forward x{args.repeats} (CFG batch {b})")
     per_fwd_ms = total / 1e3 / args.repeats

@@ -48,10 +48,13 @@ def main():
         ok &= check(f"gn_silu {shape} act={act} add={with_add}", fused, ref, 0.1)
 
     # flash fwd+bwd at the three UNet self-attention levels + the VAE AttnBlock
-    # shape (1024 tokens, 1 head, d=512 — dispatched by models/vae.py)
-    for n, h, d in [(1024, 8, 40), (256, 8, 80), (64, 8, 160), (1024, 1, 512)]:
+    # shape (1024 tokens, 1 head, d=512 — dispatched by models/vae.py) + the
+    # 77-token-KV cross-attention shapes (on the flash path since round 3)
+    for n, s, h, d in [(1024, 1024, 8, 40), (256, 256, 8, 80), (64, 64, 8, 160),
+                       (1024, 1024, 1, 512), (1024, 77, 8, 40), (256, 77, 8, 80)]:
         ks = jax.random.split(jax.random.PRNGKey(n + d), 3)
-        q, k, v = (jax.random.normal(kk, (4, n, h, d), jnp.bfloat16) for kk in ks)
+        q = jax.random.normal(ks[0], (4, n, h, d), jnp.bfloat16)
+        k, v = (jax.random.normal(kk, (4, s, h, d), jnp.bfloat16) for kk in ks[1:])
         out = jax.jit(pallas_attention.flash_attention)(q, k, v)
         ref = jax.jit(mha_attention)(q, k, v)
         ok &= check(f"flash fwd n={n} h={h} d={d}", out, ref, 0.05)
