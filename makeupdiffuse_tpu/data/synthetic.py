@@ -37,9 +37,14 @@ class FillCirclesDataset:
         dist = np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
         outline = (np.abs(dist - r) < 2).astype(np.float32)
         fill = (dist <= r).astype(np.float32)
-        color = rng.uniform(0, 1, size=3).astype(np.float32)
-        bg = rng.uniform(0, 1, size=3).astype(np.float32)
-        hint = np.repeat(outline[..., None], 3, axis=-1)
+        color = rng.uniform(0.1, 1, size=3).astype(np.float32)
+        # The hint fully determines the target (outline carries the fill color;
+        # background is fixed gray) so sample-vs-target error measures ONLY what
+        # the control pathway learned — with unhinted random colors the metric
+        # floor is the ~0.67 MSE of two independent uniform colors and nothing a
+        # perfect model does can move it.
+        bg = np.full(3, 0.5, np.float32)
+        hint = outline[..., None] * color
         target = fill[..., None] * color + (1 - fill[..., None]) * bg
         return dict(jpg=(target * 2 - 1).astype(np.float32), hint=hint.astype(np.float32),
                     txt="a colored circle")

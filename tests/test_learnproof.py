@@ -1,0 +1,43 @@
+"""End-to-end learning proof on the Fill-circles control task (short CPU run).
+
+The reference validates its control pathway with the Fill50k toy task
+(/root/reference/diffdata/datasets.py:221-262); scripts/learnproof.py reproduces
+that pattern tpu-side (VAE pretrain → uncond UNet pretrain → ControlNet-only
+training). This test runs the driver with miniature step counts and asserts every
+stage's loss decreases — training dynamics, not just one-step execution.
+"""
+import argparse
+import importlib.util
+import json
+import os
+
+
+def _load_learnproof():
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "learnproof", os.path.join(root, "scripts", "learnproof.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_learnproof_losses_decrease(tmp_path):
+    run = _load_learnproof().run
+
+    args = argparse.Namespace(
+        cpu=True, batch=4, steps_a1=12, steps_a2=12, steps_b=16,
+        sample_steps=2, lr_vae=1e-3, lr_unet=2e-4, lr_control=2e-4,
+        seed=0, out=str(tmp_path),
+    )
+    rc = run(args)
+    assert rc == 0, "a stage's fixed-probe loss failed to decrease"
+    with open(os.path.join(str(tmp_path), "summary.json")) as f:
+        s = json.load(f)
+    for stage in ("a1_vae", "a2_unet", "b_control"):
+        # deterministic probe (same batch + noise key before/after) — the per-step
+        # curve means are sampling noise at these miniature step counts
+        assert s[stage]["probe_last"] < s[stage]["probe_first"], (stage, s[stage])
+    # artifacts written: loss curves + before/after grids
+    for fn in ("loss_a1_vae.jsonl", "loss_b_control.jsonl"):
+        assert os.path.exists(os.path.join(str(tmp_path), fn))
