@@ -284,7 +284,8 @@ def _is_zero_leaf(path: str) -> bool:
 
 
 def fast_init_model(
-    cfg: ModelConfig, seed: int = 0, batch: int = 1, param_dtype=None
+    cfg: ModelConfig, seed: int = 0, batch: int = 1, param_dtype=None,
+    fill: str = "normal",
 ) -> Tuple[ControlledLDM, Dict[str, Any]]:
     """Structure via ``jax.eval_shape`` (no compile), leaves filled host-side with
     numpy — seconds instead of the minutes a compiled full init costs. Distributions:
@@ -294,7 +295,12 @@ def fast_init_model(
 
     ``param_dtype`` casts floating leaves on the HOST before the device transfer:
     inference-grade bf16 weights move 2.8 GB instead of 5.6 through the (slow)
-    device attachment — this halves flagship tool startup."""
+    device attachment — this halves flagship tool startup.
+
+    ``fill="zeros"`` skips the random fill entirely (every leaf zero): for
+    topology/shape-only consumers (converter roundtrip tests) this avoids
+    ~3.5 GB of RNG + scale copies whose first-touch page faults cost minutes
+    on this VM."""
     import flax
 
     model = ControlledLDM(cfg)
@@ -337,7 +343,7 @@ def fast_init_model(
         if param_dtype is not None and np.issubdtype(dtype, np.floating):
             dtype = param_dtype
         leaf = path.rsplit("/", 1)[-1]
-        if _is_zero_leaf(path) or leaf == "bias":
+        if fill == "zeros" or _is_zero_leaf(path) or leaf == "bias":
             arr = np.zeros(shape, dtype)
         elif leaf == "scale":
             arr = np.ones(shape, dtype)
@@ -346,9 +352,14 @@ def fast_init_model(
             std = (1.0 / max(fan_in, 1)) ** 0.5
             if path == "cond_stage_model/position_embedding":
                 std = 0.01
-            # f32 standard_normal is ~2.4x the f64-then-cast rate; the scaled-std
-            # quality difference is irrelevant for smoke/bench weights
-            arr = (rng.standard_normal(shape, dtype=np.float32) * std).astype(dtype)
+            # f32 generation, in-place scale, no same-dtype astype: each avoided
+            # copy is ~first-touch page-fault cost on this VM (measured: a plain
+            # `(normal * std).astype(f32)` fill of the 1.4B params costs ~200 s,
+            # the copy-free form ~40 s)
+            arr = rng.standard_normal(shape, dtype=np.float32)
+            arr *= std
+            if arr.dtype != dtype:
+                arr = arr.astype(dtype)
         else:
             arr = np.zeros(shape, dtype)
         out[path] = jnp.asarray(arr)

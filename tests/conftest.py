@@ -24,7 +24,10 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # grad graphs) — cached XLA artifacts cut repeat runs from ~30 min to minutes
 _CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# persist EVERY entry (threshold 0): remaining eager paths dispatch many distinct
+# small executables (~60 ms compile each on this 1-core host); persisting them
+# turns each into a disk load on the next run
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"

@@ -92,7 +92,9 @@ def test_full_sd15_topology_roundtrip():
     from makeupdiffuse_tpu.models.controlled_ldm import fast_init_model
 
     cfg = ModelConfig()
-    _, params = fast_init_model(cfg, seed=0)
+    # shapes-only: the test never reads values, and the random fill of 1.4B
+    # params costs minutes of first-touch page faults on this VM
+    _, params = fast_init_model(cfg, seed=0, fill="zeros")
     p = params["params"]
 
     torch_sd = export_torch_names(p, cfg)

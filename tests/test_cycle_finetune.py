@@ -70,10 +70,11 @@ def test_cycle_loss_terms_and_gradients(setup):
     tabs = cyc.tables(sched)
     batch = _cycle_batch(cfg)
 
-    def loss_fn(p):
-        return cycle_finetune_loss(model, p, cyc, tabs, batch)[0]
+    def loss_fn(p, b):
+        return cycle_finetune_loss(model, p, cyc, tabs, b)[0]
 
-    loss, grads = jax.value_and_grad(loss_fn)(params)
+    # jit: one compiled (persisted) program instead of an eager per-op storm
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params, batch)
     assert np.isfinite(float(loss))
     import flax
     flat = flax.traverse_util.flatten_dict(grads["params"], sep="/")
@@ -81,7 +82,8 @@ def test_cycle_loss_terms_and_gradients(setup):
                     if k.startswith("control_model"))
     assert ctrl_norm > 0, "no gradient reached the ControlNet through the sampler"
 
-    _, ld = cycle_finetune_loss(model, params, cyc, tabs, batch)
+    _, ld = jax.jit(lambda p, b: cycle_finetune_loss(model, p, cyc, tabs, b))(
+        params, batch)
     assert {"loss_background", "loss_makeup", "loss_idt", "loss_cycle", "loss"} <= set(ld)
 
 
@@ -91,7 +93,8 @@ def test_cycle_loss_weight_gating(setup):
                               weight_loss_idt=0, weight_loss_cycle=0)
     sched = cyc.truncated_schedule(cfg.model)
     tabs = cyc.tables(sched)
-    _, ld = cycle_finetune_loss(model, params, cyc, tabs, _cycle_batch(cfg))
+    _, ld = jax.jit(lambda p, b: cycle_finetune_loss(model, p, cyc, tabs, b))(
+        params, _cycle_batch(cfg))
     assert "loss_makeup" not in ld and "loss_idt" not in ld and "loss_cycle" not in ld
 
 

@@ -42,8 +42,11 @@ def _batch(cfg, b=2, seed=0):
 def test_composite_loss_terms(setup):
     cfg, model, params, sched = setup
     batch = _batch(cfg)
-    loss, ld = composite_loss(model, params, sched, cfg.model, batch,
-                              jax.random.PRNGKey(1), jnp.asarray(100))
+    # jit: run as ONE compiled program (and persist it) — bare eager evaluation
+    # dispatches thousands of per-op executables at ~60 ms each on this host
+    loss, ld = jax.jit(lambda p, b: composite_loss(
+        model, p, sched, cfg.model, b, jax.random.PRNGKey(1), jnp.asarray(100)
+    ))(params, batch)
     expected_keys = {"loss_base", "loss_idt_src", "loss_idt_ref", "loss_cycle_content",
                      "loss_cycle_makeup", "loss_background", "loss_makeup", "loss"}
     assert expected_keys == set(ld)
@@ -93,11 +96,11 @@ def test_pristine_init_has_zero_grads(setup):
     cfg, model, params, sched = setup
     batch = _batch(cfg)
 
-    def loss_fn(p):
-        return composite_loss(model, p, sched, cfg.model, batch,
+    def loss_fn(p, b):
+        return composite_loss(model, p, sched, cfg.model, b,
                               jax.random.PRNGKey(1), jnp.asarray(100))[0]
 
-    grads = jax.grad(loss_fn)(params)
+    grads = jax.jit(jax.grad(loss_fn))(params, batch)
     import flax
     flat = flax.traverse_util.flatten_dict(grads["params"], sep="/")
     ctrl = [v for k, v in flat.items() if k.startswith("control_model")]
@@ -235,8 +238,9 @@ def test_fake_sr_detached_by_default(setup):
     )
 
     def gnorm(m_cfg):
-        g = jax.grad(lambda p: composite_loss(model, p, sched, m_cfg, batch,
-                                              jax.random.PRNGKey(1), jnp.asarray(100))[0])(params)
+        g = jax.jit(jax.grad(lambda p, b: composite_loss(
+            model, p, sched, m_cfg, b, jax.random.PRNGKey(1), jnp.asarray(100)
+        )[0]))(params, batch)
         flat = flax.traverse_util.flatten_dict(g["params"], sep="/")
         return sum(float(jnp.abs(v).sum()) for k, v in flat.items()
                    if k.startswith("control_model"))
@@ -258,6 +262,7 @@ def test_cast_frozen_to_bf16(setup):
             assert v.dtype == jnp.bfloat16, k  # frozen cast down
     # the model still runs with mixed-dtype params
     batch = _batch(cfg)
-    loss, _ = composite_loss(model, cast, sched, cfg.model, batch,
-                             jax.random.PRNGKey(0), jnp.asarray(100))
+    loss, _ = jax.jit(lambda p, b: composite_loss(
+        model, p, sched, cfg.model, b, jax.random.PRNGKey(0), jnp.asarray(100)
+    ))(cast, batch)
     assert np.isfinite(float(loss))
