@@ -1,0 +1,149 @@
+"""TP / FSDP sharding rules: placement assertions + DP-equivalence on the 8-dev mesh.
+
+The reference has no multi-device story (pl.Trainer(gpus=1), runs/train.py:55);
+these pin the framework's added GSPMD parallelism: the same program, under
+tensor-parallel or fully-sharded parameter placement, must produce the same
+numbers as the replicated baseline — XLA inserts the collectives.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from makeupdiffuse_tpu.core.schedule import DiffusionSchedule
+from makeupdiffuse_tpu.parallel.mesh import (DATA_AXIS, MODEL_AXIS, make_mesh,
+                                             replicate, shard_batch)
+from makeupdiffuse_tpu.parallel import sharding as shd
+from makeupdiffuse_tpu.training.train_state import TrainState
+from makeupdiffuse_tpu.training.train_step import make_train_step
+
+
+@pytest.fixture(scope="module")
+def setup(tiny_model_session):
+    return tiny_model_session
+
+
+def _eps_inputs(cfg, b=4):
+    m = cfg.model
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    return (
+        jax.random.normal(ks[0], (b, m.latent_size, m.latent_size, m.latent_channels)),
+        jax.random.randint(ks[1], (b,), 0, m.timesteps),
+        jax.random.normal(ks[2], (b, m.clip.max_length, m.unet.context_dim)),
+        jax.random.uniform(ks[3], (b, m.image_size, m.image_size, m.control.hint_channels)),
+    )
+
+
+def test_tp_specs_match_rules(setup):
+    cfg, model, params = setup
+    mesh = make_mesh(n_data=2, n_model=4)
+    specs = shd.tree_specs(params, mesh, tp=True)
+    flat = {shd._path_str(p): s for p, s in
+            jax.tree_util.tree_flatten_with_path(specs)[0]}
+    q = [k for k in flat if k.endswith("to_q/kernel")]
+    o = [k for k in flat if k.endswith("to_out/kernel")]
+    ff_in = [k for k in flat if k.endswith("ff/proj_in/kernel")]
+    assert q and o and ff_in
+    assert all(flat[k] == P(None, MODEL_AXIS) for k in q)
+    assert all(flat[k] == P(MODEL_AXIS, None) for k in o)
+    assert all(flat[k] == P(None, MODEL_AXIS) for k in ff_in)
+    # convs stay replicated under pure TP
+    convs = [k for k in flat if "in_conv/kernel" in k]
+    assert convs and all(flat[k] == P(None, None, None, None) for k in convs)
+
+
+def test_fsdp_shards_every_divisible_leaf(setup):
+    cfg, model, params = setup
+    mesh = make_mesh(n_data=8, n_model=1)
+    sharded = shd.shard_tree(mesh, params, fsdp=True)
+    full = sum(x.nbytes for x in jax.tree_util.tree_leaves(params))
+    per_dev = shd.sharded_param_bytes(sharded)
+    # most weight axes are multiples of 8 → per-device residency shrinks hard
+    assert per_dev < 0.3 * full, (per_dev, full)
+    # and values survive the placement round-trip
+    a = jax.tree_util.tree_leaves(params)[0]
+    b = jax.tree_util.tree_leaves(sharded)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tp_forward_matches_replicated(setup):
+    """apply_eps with Megatron-sharded attention/FF == replicated (dp2 × tp4)."""
+    cfg, model, params = setup
+    x, t, ctx, hint = _eps_inputs(cfg)
+
+    def fn(p, x, t, ctx, hint):
+        return model.apply(p, x, t, ctx, hint, method=model.apply_eps)
+
+    ref = jax.jit(fn)(params, x, t, ctx, hint)
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    p_tp = shd.shard_tree(mesh, params, tp=True)
+    batch = shard_batch(mesh, dict(x=x, t=t, ctx=ctx, hint=hint))
+    out = jax.jit(fn)(p_tp, batch["x"], batch["t"], batch["ctx"], batch["hint"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_fsdp_train_step_matches_dp(setup):
+    """One composite train step under ZeRO-3 placement == replicated-DP step."""
+    cfg, model, params = setup
+    sched = DiffusionSchedule.create(timesteps=cfg.model.timesteps)
+    mesh = make_mesh(n_data=8, n_model=1)
+    b = 8
+    m = cfg.model
+    H = m.image_size
+    ks = jax.random.split(jax.random.PRNGKey(3), 9)
+    u = lambda k, *s: jax.random.uniform(k, s)
+    batch = dict(
+        src_img=u(ks[0], b, H, H, 3),
+        ref_img=u(ks[1], b, H, H, 3),
+        nonmakeup_img=u(ks[2], b, H, H, 3) * 2 - 1,
+        makeup_img=u(ks[3], b, H, H, 3) * 2 - 1,
+        nonmakeup_seg=jax.random.randint(ks[4], (b, H, H), 0, 14),
+        mask_s_full=(u(ks[5], b, H, H, 4) > 0.7).astype(jnp.float32),
+        pgt_sr=u(ks[6], b, H, H, 3) * 2 - 1,
+        makeup_pgt=u(ks[7], b, H, H, 3) * 2 - 1,
+        context=jax.random.normal(ks[8], (b, m.clip.max_length, m.unet.context_dim)),
+    )
+    step = make_train_step(model, sched, cfg.model, donate=False)
+    rng = jax.random.PRNGKey(11)
+
+    st_dp = replicate(mesh, TrainState.create(params, cfg.train, cfg.model))
+    dp_state, dp_metrics = step(st_dp, shard_batch(mesh, batch), rng)
+
+    st_fs = shd.shard_train_state(
+        mesh, TrainState.create(params, cfg.train, cfg.model), fsdp=True)
+    fs_state, fs_metrics = step(st_fs, shard_batch(mesh, batch), rng)
+
+    assert np.isfinite(float(fs_metrics["loss"]))
+    np.testing.assert_allclose(float(fs_metrics["loss"]), float(dp_metrics["loss"]),
+                               rtol=1e-5)
+    # updated trainable params agree leaf-for-leaf
+    dl = jax.tree_util.tree_leaves(dp_state.params)
+    fl = jax.tree_util.tree_leaves(fs_state.params)
+    assert len(dl) == len(fl)
+    for a, c in zip(dl[::7], fl[::7]):  # sampled leaves keep the check fast
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=2e-5, atol=2e-5)
+
+
+def test_tp_fsdp_composes(setup):
+    """2-D placement (fsdp over data × tp over model) shards both axes of an
+    attention kernel and still reproduces the replicated forward."""
+    cfg, model, params = setup
+    mesh = make_mesh(n_data=2, n_model=4)
+    specs = shd.tree_specs(params, mesh, tp=True, fsdp=True)
+    flat = {shd._path_str(p): s for p, s in
+            jax.tree_util.tree_flatten_with_path(specs)[0]}
+    q = next(k for k in flat if k.endswith("to_q/kernel"))
+    assert flat[q] == P(DATA_AXIS, MODEL_AXIS)
+
+    x, t, ctx, hint = _eps_inputs(cfg)
+
+    def fn(p, x, t, ctx, hint):
+        return model.apply(p, x, t, ctx, hint, method=model.apply_eps)
+
+    ref = jax.jit(fn)(params, x, t, ctx, hint)
+    p2d = shd.shard_tree(mesh, params, tp=True, fsdp=True)
+    batch = shard_batch(mesh, dict(x=x, t=t, ctx=ctx, hint=hint))
+    out = jax.jit(fn)(p2d, batch["x"], batch["t"], batch["ctx"], batch["hint"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
