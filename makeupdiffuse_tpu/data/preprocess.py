@@ -41,6 +41,16 @@ def load_image(path: str, img_size: int = 256) -> np.ndarray:
     return native.resize_normalize(img, img_size)
 
 
+def load_image_batch(paths, img_size: int = 256) -> np.ndarray:
+    """Batch variant of load_image: decode sequentially, then fan the
+    resize+normalize across the native worker pool (utils.native.BatchExecutor)
+    into one contiguous [B, img_size², 3] array — one device_put per batch."""
+    from ..utils import native
+
+    imgs = [np.asarray(Image.open(p).convert("RGB"), np.uint8) for p in paths]
+    return native.batch_executor().resize_normalize(imgs, img_size)
+
+
 def load_mask(path: str, img_size: int = 256) -> np.ndarray:
     """Grayscale label map → [img_size²] int32 via NEAREST (load_mask :81-85)."""
     from ..utils import native

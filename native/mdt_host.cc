@@ -13,6 +13,12 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <condition_variable>
+#include <functional>
+#include <mutex>
+#include <queue>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -107,6 +113,120 @@ void class_masks_i32(
   }
 }
 
-int mdt_host_abi_version() { return 1; }
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native batch executor: a persistent worker pool assembling whole training
+// batches in parallel. This is the framework's equivalent of the native worker
+// tier torch's DataLoader(num_workers=2) gives the reference implicitly
+// (/root/reference/runs/train.py:32): Python enqueues one foreign call (ctypes
+// releases the GIL for its duration), the pool fans the per-image work across
+// host cores, and the result lands in ONE contiguous [B,H,W,C] buffer ready for
+// the single jax.device_put per batch.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+class MdtPool {
+ public:
+  explicit MdtPool(int n_threads) : stop_(false), pending_(0) {
+    n_threads = std::max(1, n_threads);
+    for (int i = 0; i < n_threads; ++i) {
+      workers_.emplace_back([this] { this->Run(); });
+    }
+  }
+
+  ~MdtPool() {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& t : workers_) t.join();
+  }
+
+  int size() const { return (int)workers_.size(); }
+
+  // Enqueue n index-tasks and block until all completed.
+  void ParallelFor(int n, const std::function<void(int)>& fn) {
+    if (n <= 0) return;
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      pending_ += n;
+      for (int i = 0; i < n; ++i) jobs_.push([fn, i] { fn(i); });
+    }
+    cv_.notify_all();
+    std::unique_lock<std::mutex> lk(mu_);
+    done_cv_.wait(lk, [this] { return pending_ == 0; });
+  }
+
+ private:
+  void Run() {
+    for (;;) {
+      std::function<void()> job;
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_.wait(lk, [this] { return stop_ || !jobs_.empty(); });
+        if (stop_ && jobs_.empty()) return;
+        job = std::move(jobs_.front());
+        jobs_.pop();
+      }
+      job();
+      {
+        std::lock_guard<std::mutex> lk(mu_);
+        if (--pending_ == 0) done_cv_.notify_all();
+      }
+    }
+  }
+
+  std::vector<std::thread> workers_;
+  std::queue<std::function<void()>> jobs_;
+  std::mutex mu_;
+  std::condition_variable cv_;
+  std::condition_variable done_cv_;
+  bool stop_;
+  int pending_;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* mdt_pool_create(int n_threads) { return new MdtPool(n_threads); }
+
+void mdt_pool_destroy(void* pool) { delete static_cast<MdtPool*>(pool); }
+
+int mdt_pool_size(void* pool) { return static_cast<MdtPool*>(pool)->size(); }
+
+// B variable-size uint8 HWC images → one contiguous float32 [B,dh,dw,c] batch,
+// images fanned across the pool. shapes is [B,3] (h,w,c); every image's c must
+// equal the output c.
+void mdt_batch_resize_normalize(
+    void* pool,
+    const uint8_t** srcs, const int32_t* shapes, int b,
+    float* dst, int dh, int dw, int c, float scale, float offset) {
+  MdtPool* p = static_cast<MdtPool*>(pool);
+  const size_t stride = (size_t)dh * dw * c;
+  p->ParallelFor(b, [=](int i) {
+    resize_normalize_u8(srcs[i], shapes[i * 3], shapes[i * 3 + 1],
+                        shapes[i * 3 + 2], dst + stride * (size_t)i, dh, dw,
+                        scale, offset);
+  });
+}
+
+// B variable-size uint8 label maps → int32 [B,dh,dw], nearest, fanned.
+void mdt_batch_resize_labels(
+    void* pool,
+    const uint8_t** srcs, const int32_t* shapes, int b,
+    int32_t* dst, int dh, int dw) {
+  MdtPool* p = static_cast<MdtPool*>(pool);
+  const size_t stride = (size_t)dh * dw;
+  p->ParallelFor(b, [=](int i) {
+    resize_nearest_labels(srcs[i], shapes[i * 2], shapes[i * 2 + 1],
+                          dst + stride * (size_t)i, dh, dw);
+  });
+}
+
+int mdt_host_abi_version() { return 2; }
 
 }  // extern "C"

@@ -37,7 +37,7 @@ def main():
 
     from makeupdiffuse_tpu.config import Config, tiny_test_config
     from makeupdiffuse_tpu.data.mt_dataset import MTDataset
-    from makeupdiffuse_tpu.data.preprocess import load_image
+    from makeupdiffuse_tpu.data.preprocess import load_image_batch
 
     cfg = tiny_test_config() if args.tiny else Config()
     m = cfg.model
@@ -86,10 +86,10 @@ def main():
             names = all_names[i:i + args.batch_size]
             if len(names) < args.batch_size:  # static shapes: pad the tail
                 names = names + [names[-1]] * (args.batch_size - len(names))
-            imgs = np.stack([
-                load_image(os.path.join(args.data_root, "images", n), m.image_size)
-                for n in names
-            ])
+            imgs = load_image_batch(
+                [os.path.join(args.data_root, "images", n) for n in names],
+                m.image_size,
+            )
             yield names, imgs
 
     if args.stage == "onlyrec":

@@ -52,3 +52,49 @@ def test_class_masks_matches_numpy():
     assert got.shape == (32, 32, 3)
     for i, g in enumerate(groups):
         np.testing.assert_array_equal(got[..., i], np.isin(labels, list(g)).astype(np.float32))
+
+
+def test_batch_executor_matches_sequential():
+    """The C++ worker-pool batch assembler == per-image ops, varied sizes."""
+    ex = native.BatchExecutor(n_threads=4)
+    rng = np.random.RandomState(4)
+    imgs = [rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+            for h, w in [(300, 200), (256, 256), (128, 400), (64, 64)]]
+    batch = ex.resize_normalize(imgs, 96)
+    seq = np.stack([native.resize_normalize(im, 96) for im in imgs])
+    assert batch.shape == (4, 96, 96, 3)
+    np.testing.assert_array_equal(batch, seq)
+
+    labs = [rng.randint(0, 14, (h, w)).astype(np.uint8)
+            for h, w in [(300, 200), (512, 512)]]
+    lb = ex.resize_labels(labs, 96)
+    ls = np.stack([native.resize_labels(lm, 96) for lm in labs])
+    np.testing.assert_array_equal(lb, ls)
+
+
+def test_batch_executor_fallback(monkeypatch):
+    """Without the .so the executor degrades to the sequential numpy path."""
+    ex = native.BatchExecutor.__new__(native.BatchExecutor)
+    ex._lib = None
+    ex._pool = None
+    ex.n_threads = 1
+    rng = np.random.RandomState(5)
+    imgs = [rng.randint(0, 256, (100, 80, 3), dtype=np.uint8) for _ in range(2)]
+    out = ex.resize_normalize(imgs, 32)
+    assert out.shape == (2, 32, 32, 3)
+    np.testing.assert_array_equal(
+        out, np.stack([native.resize_normalize(im, 32) for im in imgs]))
+
+
+def test_load_image_batch(tmp_path):
+    from PIL import Image as PILImage
+    from makeupdiffuse_tpu.data.preprocess import load_image, load_image_batch
+    rng = np.random.RandomState(6)
+    paths = []
+    for i, (h, w) in enumerate([(300, 200), (256, 256)]):
+        p = tmp_path / f"im{i}.png"
+        PILImage.fromarray(rng.randint(0, 256, (h, w, 3), dtype=np.uint8)).save(p)
+        paths.append(str(p))
+    batch = load_image_batch(paths, 64)
+    seq = np.stack([load_image(p, 64) for p in paths])
+    np.testing.assert_array_equal(batch, seq)
