@@ -214,7 +214,8 @@ flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 # module-level switches: models consult these when their own flag is unset
 FLASH_DEFAULT = False
-FLASH_MIN_SEQ = 256  # q-length at which the kernel wins on v5e (incl. 77-token cross)
+FLASH_MIN_SEQ = 512  # q-length at which the kernel wins on v5e
+FLASH_MIN_KV = 512   # kv-length too: 77-token cross is faster unfused (sweep_attn)
 FLASH_BLOCK_Q = 256  # q rows per program (clamped to divide N)
 
 
@@ -223,10 +224,15 @@ def attention(
     mask: Optional[jnp.ndarray] = None,
     use_flash: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Dispatch: Pallas flash kernel for large unmasked attention (self AND the
-    77-token-KV cross case — both measured wins on v5e), jnp/XLA otherwise.
-    Short q-sequences pay more in program/launch overhead than they save."""
+    """Dispatch: Pallas flash kernel only where it measurably wins on v5e —
+    long-q AND long-KV unmasked attention (the 1024-token UNet level and the VAE
+    block). The 77-token-KV cross layers and the 256-token self level run faster
+    on XLA's unfused path (tools/sweep_attn.py, v5e, 2026-08-18: cross-1024
+    0.689 ms XLA vs 0.737 ms flash; self-256 0.659 vs 0.702) — a round-3
+    FLASH_MIN_SEQ=256 + cross-on-flash experiment regressed the e2e bench
+    4.15→4.01 img/s and was reverted."""
     flash = FLASH_DEFAULT if use_flash is None else use_flash
-    if flash and mask is None and q.shape[1] >= FLASH_MIN_SEQ:
+    if (flash and mask is None and q.shape[1] >= FLASH_MIN_SEQ
+            and k.shape[1] >= FLASH_MIN_KV):
         return flash_attention(q, k, v)
     return mha_attention(q, k, v, mask=mask)

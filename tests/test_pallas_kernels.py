@@ -40,8 +40,10 @@ def test_flash_forward_matches_xla(n, s, h, d):
 
 
 def test_flash_backward_cross_shape():
-    """Cross-attention (n≠s, 77-token KV) backward — now on the flash path since
-    FLASH_MIN_SEQ gates on q-length only."""
+    """Cross-attention (n≠s, 77-token KV) backward through the kernel. The
+    production dispatch routes 77-token KV to XLA (FLASH_MIN_KV — measured
+    faster unfused on v5e), but the kernel must stay correct at these shapes
+    for callers that force use_flash=True."""
     ks = jax.random.split(jax.random.PRNGKey(11), 3)
     b, n, s, h, d = 2, 256, 77, 2, 40
     q = jax.random.normal(ks[0], (b, n, h, d))
