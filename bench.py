@@ -31,13 +31,17 @@ import jax.numpy as jnp
 
 
 def _timeit(fn, repeats):
-    out = fn()
-    jax.block_until_ready(out)
+    """fn(i) -> output. Repeats pass distinct i so inputs VARY per repeat —
+    bitwise-identical re-dispatches can be served ~free by the axon attachment
+    (CLAUDE.md); each timing ends with a scalar fetch (block_until_ready alone
+    can return while the computation is still in flight through the tunnel)."""
+    out = fn(0)
+    jax.device_get(jnp.ravel(jax.tree_util.tree_leaves(out)[0])[0])
     times = []
-    for _ in range(repeats):
+    for i in range(repeats):
         t0 = time.time()
-        out = fn()
-        jax.block_until_ready(out)
+        out = fn(i + 1)
+        jax.device_get(jnp.ravel(jax.tree_util.tree_leaves(out)[0])[0])
         times.append(time.time() - t0)
     return min(times)
 
@@ -84,13 +88,14 @@ def main():
 
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
-            img_s = jax.random.uniform(ks[0], (1, H, H, 3)) * 2 - 1
+            srcs = [jax.random.uniform(jax.random.fold_in(ks[0], i), (1, H, H, 3)) * 2 - 1
+                    for i in range(args.repeats + 1)]
             img_r = jax.random.uniform(ks[1], (1, H, H, 3)) * 2 - 1
             mask = (jax.random.uniform(ks[2], (1, H, H, 4)) > 0.7).astype(jnp.float32)
             alphas = jnp.asarray([0.1, 0.6, 0.3])
             # arguments, not closures — closures constant-fold at compile time
             fn = jax.jit(compose_pgt)
-            best = _timeit(lambda: fn(img_s, img_r, mask, mask, alphas), args.repeats)
+            best = _timeit(lambda i: fn(srcs[i], img_r, mask, mask, alphas), args.repeats)
         result = {
             "metric": "PGT pseudo-label pairs/sec, one 2562 MT pair, host CPU",
             "value": round(1.0 / best, 4), "unit": "pairs/sec",
@@ -112,16 +117,17 @@ def main():
 
         teacher = EleGANtTeacher()
         teacher.params = jax.device_put(teacher.params, jax.devices()[0])
-        img_s = jax.random.uniform(ks[0], (1, H, H, 3)) * 2 - 1
+        srcs = [jax.random.uniform(jax.random.fold_in(ks[0], i), (1, H, H, 3)) * 2 - 1
+                for i in range(args.repeats + 1)]
         img_r = jax.random.uniform(ks[1], (1, H, H, 3)) * 2 - 1
         mask = (jax.random.uniform(ks[2], (1, H, H, 4)) > 0.7).astype(jnp.float32)
         diff = jax.random.normal(ks[3], (1, H, H, 136))
-        fn = jax.jit(lambda p: teacher.model.apply(
+        fn = jax.jit(lambda p, img_s: teacher.model.apply(
             p, img_s, img_r,
             jnp.concatenate([mask[..., :1], mask[..., 1:].sum(-1, keepdims=True)], -1),
             jnp.concatenate([mask[..., :1], mask[..., 1:].sum(-1, keepdims=True)], -1),
             diff, diff))
-        best = _timeit(lambda: fn(teacher.params), args.repeats)
+        best = _timeit(lambda i: fn(teacher.params, srcs[i]), args.repeats)
         result = {
             "metric": "teacher preliminary transfers/sec, 256x256, batch 1 (EleGANt-style)",
             "value": round(1.0 / best, 4), "unit": "transfers/sec",
@@ -133,12 +139,15 @@ def main():
     # ---- config 3: single dual-ControlNet denoise step ----------------------------
     if args.config == 3:
         b = args.batch or 1
-        x = jax.random.normal(ks[0], (b, cfg.latent_size, cfg.latent_size, 4))
+        reps = max(args.repeats, 10)
+        xs = [jax.random.normal(jax.random.fold_in(ks[0], i),
+                                (b, cfg.latent_size, cfg.latent_size, 4))
+              for i in range(reps + 1)]
         t = jnp.full((b,), 500, jnp.int32)
         ctx = jax.random.normal(ks[1], (b, cfg.clip.max_length, cfg.unet.context_dim))
         hint = jax.random.uniform(ks[2], (b, H, H, 6))
         fn = jax.jit(lambda p, x: model.apply(p, x, t, ctx, hint, method=model.apply_eps))
-        best = _timeit(lambda: fn(params, x), max(args.repeats, 10))
+        best = _timeit(lambda i: fn(params, xs[i]), reps)
         result = {
             "metric": f"denoise steps/sec, dual-ControlNet+UNet 32x32 latent, batch {b}, bf16",
             "value": round(b / best, 2), "unit": "steps/sec",
@@ -184,11 +193,13 @@ def main():
 
     t0 = time.time()
     out = pipeline(params, pgt, src, ref, ctx, uc, jax.random.PRNGKey(1))
-    out.block_until_ready()
+    jax.device_get(out[0, 0, 0, 0])  # block_until_ready can lie through axon
     compile_s = time.time() - t0
 
+    # the rng argument varies per repeat, which varies the initial noise and the
+    # posterior sample — no two dispatches are bitwise-identical
     best = _timeit(
-        lambda: pipeline(params, pgt, src, ref, ctx, uc, jax.random.PRNGKey(7)),
+        lambda i: pipeline(params, pgt, src, ref, ctx, uc, jax.random.PRNGKey(7 + i)),
         args.repeats,
     )
     imgs_per_sec = b / best
@@ -254,16 +265,17 @@ def _bench_train_step(args):
 
     t0 = time.time()
     state, metrics = step_fn(state, batch, jax.random.PRNGKey(2))
-    jax.block_until_ready(metrics)
+    fetched = {k: float(v) for k, v in metrics.items()}  # host fetch = true sync
     compile_s = time.time() - t0
-    fetched = {k: float(v) for k, v in metrics.items()}
     print(f"# step-1 metrics: { {k: round(v, 4) for k, v in fetched.items()} }",
           file=sys.stderr, flush=True)
     times = []
     for i in range(max(args.repeats, 5)):
         t0 = time.time()
+        # the rng varies per repeat (t draws + noise), so no repeat is a
+        # bitwise-identical dispatch the attachment could serve for free
         state, metrics = step_fn(state, batch, jax.random.PRNGKey(3 + i))
-        jax.block_until_ready(metrics)
+        jax.device_get(metrics["loss"])
         times.append(time.time() - t0)
     best = min(times)
     result = {

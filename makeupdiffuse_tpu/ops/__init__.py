@@ -7,11 +7,22 @@ def enable_tpu_kernels(enable: bool = True) -> bool:
 
     Returns the value applied. Drivers call this once at startup on the real
     chip; the CPU test mesh leaves them off (kernels are covered separately in
-    interpret mode, tests/test_pallas_kernels.py)."""
+    interpret mode, tests/test_pallas_kernels.py).
+
+    Tuning overrides (whole-pipeline A/B knobs — per-dispatch timings through
+    the axon tunnel mis-rank ops, CLAUDE.md): env vars MDT_FLASH_MIN_SEQ /
+    MDT_FLASH_MIN_KV override the measured dispatch gates when set."""
+    import os
+
     from . import pallas_attention, pallas_norm
 
     pallas_attention.FLASH_DEFAULT = enable
     pallas_norm.FUSED_DEFAULT = enable
+    for var, attr in (("MDT_FLASH_MIN_SEQ", "FLASH_MIN_SEQ"),
+                      ("MDT_FLASH_MIN_KV", "FLASH_MIN_KV")):
+        val = os.environ.get(var)
+        if val is not None:
+            setattr(pallas_attention, attr, int(val))
     return enable
 
 
