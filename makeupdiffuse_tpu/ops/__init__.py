@@ -11,13 +11,15 @@ def enable_tpu_kernels(enable: bool = True) -> bool:
 
     Tuning overrides (whole-pipeline A/B knobs — per-dispatch timings through
     the axon tunnel mis-rank ops, CLAUDE.md): env vars MDT_FLASH_MIN_SEQ /
-    MDT_FLASH_MIN_KV override the measured dispatch gates when set."""
+    MDT_FLASH_MIN_KV override the measured dispatch gates, and
+    MDT_FUSED_NORM=0 / MDT_FLASH_ATTN=0 switch either kernel family off
+    independently, when set."""
     import os
 
     from . import pallas_attention, pallas_norm
 
-    pallas_attention.FLASH_DEFAULT = enable
-    pallas_norm.FUSED_DEFAULT = enable
+    pallas_attention.FLASH_DEFAULT = enable and os.environ.get("MDT_FLASH_ATTN") != "0"
+    pallas_norm.FUSED_DEFAULT = enable and os.environ.get("MDT_FUSED_NORM") != "0"
     for var, attr in (("MDT_FLASH_MIN_SEQ", "FLASH_MIN_SEQ"),
                       ("MDT_FLASH_MIN_KV", "FLASH_MIN_KV")):
         val = os.environ.get(var)

@@ -176,3 +176,34 @@ def test_group_norm_module_fused_equals_unfused():
         pallas_norm.FUSED_DEFAULT = old
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_enable_tpu_kernels_env_overrides(monkeypatch):
+    """MDT_* env knobs: gate overrides + independent per-family off switches."""
+    from makeupdiffuse_tpu import ops
+
+    old = (pallas_attention.FLASH_DEFAULT, pallas_norm.FUSED_DEFAULT,
+           pallas_attention.FLASH_MIN_SEQ, pallas_attention.FLASH_MIN_KV)
+    try:
+        monkeypatch.setenv("MDT_FLASH_MIN_SEQ", "256")
+        monkeypatch.setenv("MDT_FLASH_MIN_KV", "77")
+        monkeypatch.setenv("MDT_FUSED_NORM", "0")
+        assert ops.enable_tpu_kernels(True) is True
+        assert pallas_attention.FLASH_DEFAULT is True
+        assert pallas_norm.FUSED_DEFAULT is False      # family switched off via env
+        assert pallas_attention.FLASH_MIN_SEQ == 256
+        assert pallas_attention.FLASH_MIN_KV == 77
+
+        monkeypatch.setenv("MDT_FLASH_ATTN", "0")
+        monkeypatch.delenv("MDT_FUSED_NORM")
+        ops.enable_tpu_kernels(True)
+        assert pallas_attention.FLASH_DEFAULT is False
+        assert pallas_norm.FUSED_DEFAULT is True
+
+        monkeypatch.delenv("MDT_FLASH_ATTN")
+        ops.enable_tpu_kernels(False)                  # master off wins regardless
+        assert pallas_attention.FLASH_DEFAULT is False
+        assert pallas_norm.FUSED_DEFAULT is False
+    finally:
+        (pallas_attention.FLASH_DEFAULT, pallas_norm.FUSED_DEFAULT,
+         pallas_attention.FLASH_MIN_SEQ, pallas_attention.FLASH_MIN_KV) = old
