@@ -1,0 +1,198 @@
+"""Serving driver: static-shape dynamically-batched transfer over a JSONL socket.
+
+The reference ships only offline drivers (`/root/reference/runs/test.py`); this
+is the production serving path for the same product call — see
+makeupdiffuse_tpu/serving.py for the batching/bucket design.
+
+Usage:
+  python scripts/serve.py [--tiny] [--cpu] [--port 7860] [--buckets 1,2,4,8]
+                          [--steps 50] [--sampler ddim|dpmpp] [--params p.pkl]
+  python scripts/serve.py --selftest [--clients 12] ...   # in-process benchmark
+
+Selftest spins the server up in-process, fires N concurrent synthetic clients
+at it, and prints throughput + latency percentiles + batch occupancy — the
+serving analog of bench.py.
+"""
+import argparse
+import json
+import os
+import pickle
+import sys
+import tempfile
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=7860)
+    ap.add_argument("--buckets", default="1,2,4,8")
+    ap.add_argument("--max-wait-ms", type=float, default=30.0)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--cfg-scale", type=float, default=9.0)
+    ap.add_argument("--sampler", default="ddim", choices=["ddim", "dpmpp"])
+    ap.add_argument("--params", default=None, help="converted/trained params pickle")
+    ap.add_argument("--allow-placeholder-prompts", action="store_true")
+    ap.add_argument("--selftest", action="store_true",
+                    help="run an in-process concurrent-client benchmark and exit")
+    ap.add_argument("--clients", type=int, default=12)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")  # before any jax.devices() call
+
+    from makeupdiffuse_tpu.ops import enable_tpu_kernels_if_tpu
+
+    enable_tpu_kernels_if_tpu()
+
+    import jax.numpy as jnp
+
+    from makeupdiffuse_tpu import serving
+    from makeupdiffuse_tpu.api import transfer
+    from makeupdiffuse_tpu.config import Config, tiny_test_config
+    from makeupdiffuse_tpu.core.ddim import DDIMTables
+    from makeupdiffuse_tpu.core.dpm_solver import DPMTables
+    from makeupdiffuse_tpu.core.schedule import DiffusionSchedule
+    from makeupdiffuse_tpu.models.clip_text import precompute_prompt_bank
+    from makeupdiffuse_tpu.models.controlled_ldm import fast_init_model, init_model
+
+    cfg = tiny_test_config() if args.tiny else Config()
+    m = cfg.model
+    print(f"# building model (tiny={args.tiny})...", file=sys.stderr, flush=True)
+    if args.tiny:
+        model, params = init_model(m, jax.random.PRNGKey(0))
+    else:
+        model, params = fast_init_model(m, param_dtype=jnp.bfloat16)
+    if args.params:
+        with open(args.params, "rb") as f:
+            loaded = pickle.load(f)
+        params = jax.tree_util.tree_map(jnp.asarray, {"params": loaded["params"]})
+        from makeupdiffuse_tpu.models.clip_text import load_context_bank
+
+        enc = lambda p, ids: model.apply(p, ids, method=model.encode_text)
+        bank = load_context_bank(loaded, enc, params, max_length=m.clip.max_length,
+                                 allow_placeholder=args.allow_placeholder_prompts)
+    else:
+        enc = lambda p, ids: model.apply(p, ids, method=model.encode_text)
+        bank = precompute_prompt_bank(enc, params, max_length=m.clip.max_length)
+
+    sched = DiffusionSchedule.create(timesteps=m.timesteps, linear_start=m.linear_start,
+                                     linear_end=m.linear_end)
+    if args.sampler == "dpmpp":
+        tables = DPMTables.create(sched, num_steps=args.steps)
+    else:
+        tables = DDIMTables.create(sched, num_steps=args.steps)
+
+    # the production prompt rows (reference: constant "makeup transfer" prompt,
+    # datasets.py:633; "" is the CFG unconditional)
+    ctx1 = jnp.asarray(bank["makeup transfer"])[None]
+    uc1 = jnp.asarray(bank[""])[None]
+
+    @jax.jit
+    def _sample(params, src, ref, seed):
+        b = src.shape[0]
+        ctx = jnp.tile(ctx1, (b, 1, 1))
+        uc = jnp.tile(uc1, (b, 1, 1))
+        return transfer(model, params, sched, tables, src, ref, ctx, uc,
+                        jax.random.PRNGKey(seed), cfg_scale=args.cfg_scale)
+
+    def sample_fn(src, ref, seed):
+        # params stays an argument (never a closure constant — CLAUDE.md);
+        # np.asarray is the host fetch that truly syncs the dispatch
+        return np.asarray(_sample(params, jnp.asarray(src), jnp.asarray(ref),
+                                  jnp.uint32(seed)))
+
+    buckets = tuple(int(b) for b in args.buckets.split(","))
+    engine = serving.BatchingEngine(sample_fn, buckets=buckets,
+                                    max_wait_ms=args.max_wait_ms)
+    print(f"# warmup: compiling buckets {buckets} "
+          f"(one-off; steady state never compiles)...", file=sys.stderr, flush=True)
+    times = engine.warmup(m.image_size)
+    print(f"# warmup done: { {b: round(t, 1) for b, t in times.items()} } s",
+          file=sys.stderr, flush=True)
+
+    server = serving.TransferServer(engine, m.image_size, host=args.host,
+                                    port=0 if args.selftest else args.port)
+    host, port = server.start()
+
+    if args.selftest:
+        _selftest(server, engine, host, port, m.image_size, args.clients)
+        server.shutdown()
+        engine.shutdown()
+        return
+
+    print(json.dumps({"serving": f"{host}:{port}", "buckets": list(buckets),
+                      "image_size": m.image_size, "steps": args.steps,
+                      "sampler": args.sampler}), flush=True)
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        server.shutdown()
+        engine.shutdown()
+
+
+def _selftest(server, engine, host, port, hw, n_clients):
+    """Concurrent synthetic clients against the live socket; prints one JSON line."""
+    from makeupdiffuse_tpu import serving
+
+    tmp = tempfile.mkdtemp(prefix="mdt_serve_")
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(n_clients):
+        s, r = (os.path.join(tmp, f"s{i}.npy"), os.path.join(tmp, f"r{i}.npy"))
+        np.save(s, rng.random((hw, hw, 3), np.float32))
+        np.save(r, rng.random((hw, hw, 3), np.float32))
+        paths.append((s, r, os.path.join(tmp, f"o{i}.npy")))
+
+    results = [None] * n_clients
+
+    def client(i):
+        c = serving.TransferClient(host, port)
+        try:
+            results[i] = c.transfer(*paths[i])
+        finally:
+            c.close()
+
+    t0 = time.time()
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(n_clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.time() - t0
+
+    ok = sum(1 for r in results if r and r.get("ok"))
+    bad = [r for r in results if not (r and r.get("ok"))]
+    for i, (_, _, out) in enumerate(paths):
+        if results[i] and results[i].get("ok"):
+            arr = np.load(out)
+            assert arr.shape == (hw, hw, 3), (i, arr.shape)
+    stats = engine.stats()
+    print(json.dumps({
+        "selftest": "ok" if ok == n_clients else f"FAIL ({len(bad)} errors)",
+        "clients": n_clients, "wall_s": round(wall, 2),
+        "transfers_per_sec": round(n_clients / wall, 3),
+        "batches": stats["batches"],
+        "mean_occupancy": round(stats.get("mean_occupancy", 0.0), 3),
+        "latency_ms_p50": round(stats.get("latency_ms_p50", 0.0), 1),
+        "latency_ms_p95": round(stats.get("latency_ms_p95", 0.0), 1),
+    }), flush=True)
+    if bad:
+        print(f"# errors: {bad[:3]}", file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,168 @@
+"""Serving subsystem: static-bucket dynamic batching + JSONL socket protocol.
+
+Engine semantics are pinned with a deterministic fake sample_fn (no model); the
+socket test runs a real client/server round-trip in-process. The full pipeline
+behind the engine is exercised by `scripts/serve.py --selftest --tiny --cpu`.
+"""
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from makeupdiffuse_tpu import serving
+
+HW = 8
+
+
+def _echo_fn(calls):
+    """sample_fn that records batch sizes and returns src - ref (deterministic)."""
+
+    def fn(src, ref, seed):
+        calls.append(src.shape[0])
+        return (src - ref).astype(np.float32)
+
+    return fn
+
+
+def test_single_request_roundtrip():
+    calls = []
+    eng = serving.BatchingEngine(_echo_fn(calls), buckets=(1, 2, 4), max_wait_ms=1.0)
+    try:
+        src = np.full((HW, HW, 3), 0.75, np.float32)
+        ref = np.full((HW, HW, 3), 0.25, np.float32)
+        out = eng.transfer(src, ref, timeout=10)
+        np.testing.assert_allclose(out, 0.5)
+        assert calls == [1]  # smallest bucket, no padding
+        s = eng.stats()
+        assert s["requests"] == 1 and s["batches"] == 1 and s["padded_slots"] == 0
+    finally:
+        eng.shutdown()
+
+
+def test_concurrent_requests_batch_and_pad():
+    calls = []
+    eng = serving.BatchingEngine(_echo_fn(calls), buckets=(1, 2, 4, 8),
+                                 max_wait_ms=200.0)
+    try:
+        rng = np.random.default_rng(0)
+        srcs = [rng.random((HW, HW, 3), np.float32) for _ in range(3)]
+        refs = [rng.random((HW, HW, 3), np.float32) for _ in range(3)]
+        outs = [None] * 3
+
+        def go(i):
+            outs[i] = eng.transfer(srcs[i], refs[i], timeout=10)
+
+        threads = [threading.Thread(target=go, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        # each client got ITS OWN answer back (scatter respects order)
+        for i in range(3):
+            np.testing.assert_allclose(outs[i], srcs[i] - refs[i], rtol=1e-6)
+        # 3 concurrent requests rode one padded bucket-4 batch (or, if the
+        # dispatcher won the race for an early one, at most two batches)
+        assert sum(calls) >= 3 and len(calls) <= 2
+        s = eng.stats()
+        assert s["requests"] == 3
+        assert 0 < s["mean_occupancy"] <= 1.0
+    finally:
+        eng.shutdown()
+
+
+def test_oversized_group_splits_to_max_bucket():
+    calls = []
+    eng = serving.BatchingEngine(_echo_fn(calls), buckets=(1, 2), max_wait_ms=100.0)
+    try:
+        x = np.zeros((HW, HW, 3), np.float32)
+        handles = [eng.submit(x, x) for _ in range(5)]
+        for h in handles:
+            assert h.done.wait(10)
+            assert h.error is None
+        assert all(c <= 2 for c in calls) and sum(calls) >= 5
+    finally:
+        eng.shutdown()
+
+
+def test_engine_error_propagates_to_waiters():
+    def boom(src, ref, seed):
+        raise RuntimeError("device on fire")
+
+    eng = serving.BatchingEngine(boom, buckets=(1,), max_wait_ms=1.0)
+    try:
+        x = np.zeros((HW, HW, 3), np.float32)
+        with pytest.raises(RuntimeError, match="device on fire"):
+            eng.transfer(x, x, timeout=10)
+        assert eng.stats()["errors"] == 1
+    finally:
+        eng.shutdown()
+
+
+def test_bad_bucket_spec_rejected():
+    with pytest.raises(ValueError):
+        serving.BatchingEngine(lambda s, r, i: s, buckets=(4, 2))
+    with pytest.raises(ValueError):
+        serving.BatchingEngine(lambda s, r, i: s, buckets=(0, 2))
+
+
+def test_socket_server_roundtrip(tmp_path):
+    calls = []
+    eng = serving.BatchingEngine(_echo_fn(calls), buckets=(1, 2), max_wait_ms=1.0)
+    server = serving.TransferServer(eng, HW, port=0)
+    host, port = server.start()
+    try:
+        rng = np.random.default_rng(1)
+        s_path, r_path = str(tmp_path / "s.npy"), str(tmp_path / "r.npy")
+        o_path = str(tmp_path / "o.npy")
+        src = rng.random((HW, HW, 3)).astype(np.float32)
+        ref = rng.random((HW, HW, 3)).astype(np.float32)
+        np.save(s_path, src)
+        np.save(r_path, ref)
+
+        client = serving.TransferClient(host, port)
+        try:
+            assert client.request({"cmd": "ping"})["pong"] is True
+            resp = client.transfer(s_path, r_path, o_path)
+            assert resp["ok"], resp
+            np.testing.assert_allclose(np.load(o_path), src - ref, rtol=1e-6)
+            stats = client.request({"cmd": "stats"})["stats"]
+            assert stats["requests"] == 1
+            # malformed request → structured error, connection stays usable
+            bad = client.request({"src": "/nonexistent.npy", "ref": r_path,
+                                  "out": o_path})
+            assert bad["ok"] is False and "error" in bad
+            assert client.request({"cmd": "ping"})["pong"] is True
+        finally:
+            client.close()
+    finally:
+        server.shutdown()
+        eng.shutdown()
+
+
+def test_png_image_io(tmp_path):
+    """PNG in / PNG out through the native resize path."""
+    from PIL import Image
+
+    eng = serving.BatchingEngine(_echo_fn([]), buckets=(1,), max_wait_ms=1.0)
+    server = serving.TransferServer(eng, HW, port=0)
+    host, port = server.start()
+    try:
+        rng = np.random.default_rng(2)
+        img = (rng.random((32, 32, 3)) * 255).astype(np.uint8)  # resized 32→8
+        s_path, r_path = str(tmp_path / "s.png"), str(tmp_path / "r.png")
+        o_path = str(tmp_path / "o.png")
+        Image.fromarray(img).save(s_path)
+        Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(r_path)
+        client = serving.TransferClient(host, port)
+        try:
+            resp = client.transfer(s_path, r_path, o_path)
+            assert resp["ok"], resp
+            out = np.asarray(Image.open(o_path))
+            assert out.shape == (HW, HW, 3) and out.dtype == np.uint8
+        finally:
+            client.close()
+    finally:
+        server.shutdown()
+        eng.shutdown()
