@@ -45,7 +45,18 @@ def main():
     ap.add_argument("--selftest", action="store_true",
                     help="run an in-process concurrent-client benchmark and exit")
     ap.add_argument("--clients", type=int, default=12)
+    ap.add_argument("--dp", type=int, default=1,
+                    help="data-parallel serving over N devices: each batch is "
+                         "sharded over a 1-D data mesh (every bucket must be "
+                         "divisible by N)")
     args = ap.parse_args()
+
+    if args.cpu and args.dp > 1:
+        # virtual CPU mesh for DP serving without chips — must precede backend init
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={args.dp}").strip()
 
     import jax
 
@@ -107,13 +118,32 @@ def main():
         return transfer(model, params, sched, tables, src, ref, ctx, uc,
                         jax.random.PRNGKey(seed), cfg_scale=args.cfg_scale)
 
-    def sample_fn(src, ref, seed):
-        # params stays an argument (never a closure constant — CLAUDE.md);
-        # np.asarray is the host fetch that truly syncs the dispatch
-        return np.asarray(_sample(params, jnp.asarray(src), jnp.asarray(ref),
-                                  jnp.uint32(seed)))
-
     buckets = tuple(int(b) for b in args.buckets.split(","))
+
+    if args.dp > 1:
+        # DP serving: batch sharded over the data axis, params replicated —
+        # XLA runs each bucket as one SPMD program across the mesh
+        from makeupdiffuse_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                                     replicate)
+
+        bad = [b for b in buckets if b % args.dp]
+        if bad:
+            ap.error(f"--dp {args.dp}: buckets {bad} not divisible by the mesh")
+        mesh = make_mesh(n_data=args.dp)
+        params = replicate(mesh, params)
+        b_shard = batch_sharding(mesh)
+
+        def sample_fn(src, ref, seed):
+            s = jax.device_put(jnp.asarray(src), b_shard)
+            r = jax.device_put(jnp.asarray(ref), b_shard)
+            return np.asarray(_sample(params, s, r, jnp.uint32(seed)))
+    else:
+
+        def sample_fn(src, ref, seed):
+            # params stays an argument (never a closure constant — CLAUDE.md);
+            # np.asarray is the host fetch that truly syncs the dispatch
+            return np.asarray(_sample(params, jnp.asarray(src), jnp.asarray(ref),
+                                      jnp.uint32(seed)))
     engine = serving.BatchingEngine(sample_fn, buckets=buckets,
                                     max_wait_ms=args.max_wait_ms)
     print(f"# warmup: compiling buckets {buckets} "

@@ -166,3 +166,45 @@ def test_png_image_io(tmp_path):
     finally:
         server.shutdown()
         eng.shutdown()
+
+
+def test_engine_with_dp_sharded_sample_fn():
+    """The engine composes with a pjit'd SPMD sample_fn: batch sharded over the
+    8-device CPU data mesh (the serving analog of scripts/serve.py --dp 8)."""
+    import jax
+    import jax.numpy as jnp
+
+    from makeupdiffuse_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    mesh = make_mesh(n_data=8)
+    b_shard = batch_sharding(mesh)
+
+    @jax.jit
+    def blur(src, ref):  # stand-in device program: any elementwise pipeline
+        return jnp.tanh(src) - jnp.tanh(ref)
+
+    def sample_fn(src, ref, seed):
+        s = jax.device_put(jnp.asarray(src), b_shard)
+        r = jax.device_put(jnp.asarray(ref), b_shard)
+        return np.asarray(blur(s, r))
+
+    eng = serving.BatchingEngine(sample_fn, buckets=(8,), max_wait_ms=100.0)
+    try:
+        rng = np.random.default_rng(3)
+        srcs = [rng.random((HW, HW, 3), np.float32) for _ in range(8)]
+        refs = [rng.random((HW, HW, 3), np.float32) for _ in range(8)]
+        outs = [None] * 8
+
+        def go(i):
+            outs[i] = eng.transfer(srcs[i], refs[i], timeout=30)
+
+        threads = [threading.Thread(target=go, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(8):
+            np.testing.assert_allclose(
+                outs[i], np.tanh(srcs[i]) - np.tanh(refs[i]), rtol=1e-5, atol=1e-6)
+    finally:
+        eng.shutdown()
