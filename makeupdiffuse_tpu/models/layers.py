@@ -94,8 +94,27 @@ class ResBlock(nn.Module):
         return x + h
 
 
+class _ProjKernel(nn.Module):
+    """Bare projection weight with nn.Dense's exact param layout (<name>/kernel) —
+    lets the fused-qkv path read the same checkpoint tree the Dense path writes."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int) -> jnp.ndarray:
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (in_features, self.features))
+
+
 class CrossAttention(nn.Module):
-    """ldm CrossAttention: context=None → self-attention."""
+    """ldm CrossAttention: context=None → self-attention.
+
+    With ``pallas_attention.FUSE_QKV`` on, self-attention computes q/k/v as ONE
+    matmul against the concatenated [d_in, 3·inner] weight: the concat is
+    loop-invariant (params don't change inside the sampling scan) so XLA hoists
+    it, replacing three kernel launches per layer with one. Param tree paths
+    (to_q/to_k/to_v · kernel) are identical either way — the torch converter and
+    the TP sharding rules see the same leaves."""
 
     heads: int
     dim_head: int
@@ -105,9 +124,19 @@ class CrossAttention(nn.Module):
     def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         inner = self.heads * self.dim_head
         ctx = x if context is None else context
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        if context is None and pallas_attention.FUSE_QKV:
+            d_in = x.shape[-1]
+            w = jnp.concatenate([
+                _ProjKernel(inner, name="to_q")(d_in),
+                _ProjKernel(inner, name="to_k")(d_in),
+                _ProjKernel(inner, name="to_v")(d_in),
+            ], axis=1)
+            xc, wc = nn.dtypes.promote_dtype(x, w, dtype=self.dtype)
+            q, k, v = jnp.split(xc @ wc, 3, axis=-1)
+        else:
+            q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
         b, nq, _ = q.shape
         nk = k.shape[1]
         q = q.reshape(b, nq, self.heads, self.dim_head)

@@ -20,6 +20,8 @@ def enable_tpu_kernels(enable: bool = True) -> bool:
 
     pallas_attention.FLASH_DEFAULT = enable and os.environ.get("MDT_FLASH_ATTN") != "0"
     pallas_norm.FUSED_DEFAULT = enable and os.environ.get("MDT_FUSED_NORM") != "0"
+    if os.environ.get("MDT_FUSE_QKV") is not None:
+        pallas_attention.FUSE_QKV = os.environ["MDT_FUSE_QKV"] == "1"
     for var, attr in (("MDT_FLASH_MIN_SEQ", "FLASH_MIN_SEQ"),
                       ("MDT_FLASH_MIN_KV", "FLASH_MIN_KV")):
         val = os.environ.get(var)

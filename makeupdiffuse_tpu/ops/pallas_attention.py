@@ -226,6 +226,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
 FLASH_DEFAULT = False
 FLASH_MIN_SEQ = 512  # q-length at which the kernel wins on v5e
 FLASH_MIN_KV = 512   # kv-length too: 77-token cross is faster unfused (sweep_attn)
+FUSE_QKV = False     # self-attn q/k/v as one matmul (models/layers.CrossAttention)
 FLASH_BLOCK_Q = 1024      # fwd q rows per program (clamped to divide N; VMEM-bound)
 FLASH_BLOCK_Q_BWD = 256   # bwd is ~3 live [BQ,S] f32 arrays per head — keep small
 

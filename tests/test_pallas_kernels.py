@@ -207,3 +207,34 @@ def test_enable_tpu_kernels_env_overrides(monkeypatch):
     finally:
         (pallas_attention.FLASH_DEFAULT, pallas_norm.FUSED_DEFAULT,
          pallas_attention.FLASH_MIN_SEQ, pallas_attention.FLASH_MIN_KV) = old
+
+
+def test_fuse_qkv_parity_and_tree_compat():
+    """FUSE_QKV self-attention path: identical param tree (paths and init
+    values) and identical outputs vs the three-Dense path; cross-attn untouched.
+    (Perf note: measured -1.1% e2e on v5e — the knob stays default-off.)"""
+    from makeupdiffuse_tpu.models.layers import CrossAttention
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 96))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 77, 96))
+    m = CrossAttention(heads=4, dim_head=24)
+
+    old = pallas_attention.FUSE_QKV
+    try:
+        pallas_attention.FUSE_QKV = False
+        p_unfused = m.init(jax.random.PRNGKey(2), x)
+        y_ref = m.apply(p_unfused, x)
+        pallas_attention.FUSE_QKV = True
+        p_fused = m.init(jax.random.PRNGKey(2), x)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(a, b), p_unfused, p_fused)
+        y_fused = m.apply(p_unfused, x)
+        np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-6)
+        y_cross = m.apply(m.init(jax.random.PRNGKey(2), x, ctx), x, ctx)
+        pallas_attention.FUSE_QKV = False
+        y_cross_ref = m.apply(m.init(jax.random.PRNGKey(2), x, ctx), x, ctx)
+        np.testing.assert_allclose(np.asarray(y_cross), np.asarray(y_cross_ref),
+                                   rtol=1e-5, atol=1e-6)
+    finally:
+        pallas_attention.FUSE_QKV = old
