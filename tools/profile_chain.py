@@ -30,24 +30,38 @@ import jax
 import jax.numpy as jnp
 
 
-CATEGORIES = [
-    ("pallas_flash_attn", re.compile(r"custom-call.*(flash|attn)", re.I)),
-    ("pallas_fused_norm", re.compile(r"custom-call.*(norm|group)", re.I)),
-    ("custom_call_other", re.compile(r"custom-call", re.I)),
-    ("convolution", re.compile(r"convolution|conv")),
-    ("matmul", re.compile(r"dot|einsum")),
-    ("reduce", re.compile(r"reduce")),
-    ("copy/transpose", re.compile(r"copy|transpose|bitcast|reshape")),
-    ("dynamic-slice/update", re.compile(r"dynamic")),
-    ("fusion_other", re.compile(r"fusion")),
-]
+_KIND_RX = re.compile(r"=\s*[a-z0-9]+\[[^\]]*\](?:\{[^}]*\})?\s*([a-z][a-z0-9-]*)\(")
+
+
+def hlo_kind(long_name: str) -> str:
+    """Op KIND from the HLO text '%name = type[shape]{layout} kind(operands…)'.
+
+    NOTE: substring-matching 'custom-call' against the whole line is WRONG —
+    operand lists name custom-call-producing INPUTS, so plain fusions that merely
+    consume a Pallas output get miscounted as custom calls (this inflated the
+    round-2/3 'custom_call_other' share ~4×; corrected 2026-08-18)."""
+    m = _KIND_RX.search(long_name)
+    return m.group(1) if m else "?"
 
 
 def categorize(name: str, long_name: str) -> str:
-    s = (name + " " + long_name)
-    for cat, rx in CATEGORIES:
-        if rx.search(s):
-            return cat
+    kind = hlo_kind(long_name)
+    if kind == "custom-call":
+        n = name.lower()
+        if "attn" in n or "flash" in n:
+            return "pallas_flash_attn"
+        if "norm" in n:
+            return "pallas_fused_norm"
+        return "custom_call_other"
+    if kind == "fusion":
+        n = name.lower()
+        if "convolution" in n:
+            return "convolution"
+        return "fusion(matmul/conv/elementwise)"
+    if kind in ("copy", "transpose", "bitcast", "reshape"):
+        return "copy/transpose"
+    if kind != "?":
+        return kind
     return "other"
 
 
