@@ -163,8 +163,54 @@ class FeedForwardGEGLU(nn.Module):
         return nn.Dense(dim, dtype=self.dtype, name="proj_out")(h)
 
 
+class _LNParams(nn.Module):
+    """LayerNorm scale/bias with nn.LayerNorm's exact param layout."""
+
+    @nn.compact
+    def __call__(self, c: int):
+        return (self.param("scale", nn.initializers.ones_init(), (c,)),
+                self.param("bias", nn.initializers.zeros_init(), (c,)))
+
+
+class _DenseParams(nn.Module):
+    """Dense kernel(+bias) with nn.Dense's exact param layout and initializers."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_features, self.features))
+        if not self.use_bias:
+            return w, None
+        return w, self.param("bias", nn.initializers.zeros_init(), (self.features,))
+
+
+class _Attn1Params(nn.Module):
+    """CrossAttention's param tree (to_q/to_k/to_v/to_out) without applying it —
+    feeds the fused-block kernel the same leaves the unfused path trains/loads."""
+
+    inner: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self, c: int):
+        wq, _ = _DenseParams(self.inner, use_bias=False, name="to_q")(c)
+        wk, _ = _DenseParams(self.inner, use_bias=False, name="to_k")(c)
+        wv, _ = _DenseParams(self.inner, use_bias=False, name="to_v")(c)
+        wo, bo = _DenseParams(self.out_features, name="to_out")(self.inner)
+        return wq, wk, wv, wo, bo
+
+
 class BasicTransformerBlock(nn.Module):
-    """LN→self-attn, LN→cross-attn(context), LN→GEGLU-FF, all residual."""
+    """LN→self-attn, LN→cross-attn(context), LN→GEGLU-FF, all residual.
+
+    With ``pallas_attention.FUSED_BLOCK`` on, the first (self-attention)
+    sub-block runs as ONE Pallas program per batch item — LN1, the qkv
+    projections, per-head softmax·V, the output projection and the residual add
+    all VMEM-resident (see ops/pallas_attention.fused_attention_block). Param
+    tree is identical either way."""
 
     heads: int
     dim_head: int
@@ -172,9 +218,20 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
-        x = x + CrossAttention(self.heads, self.dim_head, self.dtype, name="attn1")(
-            nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(x.dtype)
-        )
+        n, c = x.shape[1], x.shape[-1]
+        inner = self.heads * self.dim_head
+        if (pallas_attention.FUSED_BLOCK and inner == c
+                and pallas_attention.FLASH_MIN_SEQ <= n
+                <= pallas_attention.FUSED_BLOCK_MAX_SEQ):
+            lns, lnb = _LNParams(name="norm1")(c)
+            wq, wk, wv, wo, bo = _Attn1Params(inner, c, name="attn1")(c)
+            x = pallas_attention.fused_attention_block(
+                x.astype(self.dtype), lns, lnb, wq, wk, wv, wo, bo, self.heads
+            ).astype(x.dtype)
+        else:
+            x = x + CrossAttention(self.heads, self.dim_head, self.dtype, name="attn1")(
+                nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(x.dtype)
+            )
         x = x + CrossAttention(self.heads, self.dim_head, self.dtype, name="attn2")(
             nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(x.dtype), context
         )

@@ -22,6 +22,9 @@ def enable_tpu_kernels(enable: bool = True) -> bool:
     pallas_norm.FUSED_DEFAULT = enable and os.environ.get("MDT_FUSED_NORM") != "0"
     if os.environ.get("MDT_FUSE_QKV") is not None:
         pallas_attention.FUSE_QKV = os.environ["MDT_FUSE_QKV"] == "1"
+    if os.environ.get("MDT_FUSED_BLOCK") is not None:
+        pallas_attention.FUSED_BLOCK = (enable
+                                        and os.environ["MDT_FUSED_BLOCK"] == "1")
     for var, attr in (("MDT_FLASH_MIN_SEQ", "FLASH_MIN_SEQ"),
                       ("MDT_FLASH_MIN_KV", "FLASH_MIN_KV")):
         val = os.environ.get(var)

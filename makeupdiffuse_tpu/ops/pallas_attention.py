@@ -210,6 +210,136 @@ def _packed_bwd(heads, res, g):
 packed_flash_attention.defvjp(_packed_fwd, _packed_bwd)
 
 
+def _block_kernel(x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, wo_ref,
+                  bo_ref, o_ref, *, heads: int, eps: float):
+    """One batch item of the fused self-attention sub-block:
+
+        y = x + to_out(flash_attn(LayerNorm(x))) ,  qkv projections included.
+
+    Everything after the single [N, C] load happens in VMEM: the LN stats, the
+    three qkv matmuls (MXU), the per-head softmax·V (v3 lane-slice loop), the
+    output projection and the residual add. This removes the HBM layout
+    boundaries XLA otherwise inserts between the LN reduce, the projection
+    fusions and the attention custom call (~0.2 ms copies per boundary at
+    level-0 — tools/sweep_norm.py breakdown, PERF.md)."""
+    x = x_ref[0]  # [N, C]
+    xf = x.astype(jnp.float32)
+    c = x.shape[-1]
+    d = c // heads
+    scale = float(d) ** -0.5
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    xn = ((xf - mu) * jax.lax.rsqrt(var + eps)
+          * lns_ref[...] + lnb_ref[...]).astype(x.dtype)  # [N, C]
+    q = jax.lax.dot_general(  # [N, C] @ [C, C], f32 accumulate on the MXU
+        xn, wq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    k = jax.lax.dot_general(
+        xn, wk_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    v = jax.lax.dot_general(
+        xn, wv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    outs = []
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        logits = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [N, N]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        w = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(x.dtype)
+        outs.append(jax.lax.dot_general(
+            w, v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(x.dtype))
+    att = jnp.concatenate(outs, axis=-1)  # [N, C]
+    y = jax.lax.dot_general(
+        att, wo_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bo_ref[...] + xf
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _block_impl(x, ln_scale, ln_bias, wq, wk, wv, wo, bo, heads, eps):
+    b, n, c = x.shape
+    x_spec = pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    cd = x.dtype
+    return pl.pallas_call(
+        functools.partial(_block_kernel, heads=heads, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(b,),
+            in_specs=[x_spec, v_spec, v_spec, w_spec, w_spec, w_spec, w_spec,
+                      v_spec],
+            out_specs=x_spec,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * c * (4 * c + 2 * n),
+            bytes_accessed=2 * b * n * c * x.dtype.itemsize + 4 * c * c,
+            transcendentals=b * n * n * heads,
+        ),
+        interpret=INTERPRET,
+    )(
+        x,
+        ln_scale.astype(jnp.float32).reshape(1, c),
+        ln_bias.astype(jnp.float32).reshape(1, c),
+        wq.astype(cd), wk.astype(cd), wv.astype(cd), wo.astype(cd),
+        bo.astype(jnp.float32).reshape(1, c),
+    )
+
+
+def _block_reference(x, ln_scale, ln_bias, wq, wk, wv, wo, bo, heads, eps):
+    """Identical jnp math — the backward path and the CPU/ragged fallback."""
+    cd = x.dtype
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    xn = ((xf - mu) * jax.lax.rsqrt(var + eps)
+          * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)).astype(cd)
+    q, k, v = (xn @ wq.astype(cd), xn @ wk.astype(cd), xn @ wv.astype(cd))
+    b, n, c = x.shape
+    d = c // heads
+    att = mha_attention(q.reshape(b, n, heads, d), k.reshape(b, n, heads, d),
+                        v.reshape(b, n, heads, d)).reshape(b, n, c)
+    y = (att @ wo.astype(cd)).astype(jnp.float32) + bo.astype(jnp.float32) + xf
+    return y.astype(cd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def fused_attention_block(x, ln_scale, ln_bias, wq, wk, wv, wo, bo,
+                          heads: int, eps: float = 1e-5):
+    """y = x + to_out(attn(LayerNorm(x))) as ONE Pallas program per batch item
+    (models/layers.BasicTransformerBlock attn1 sub-block).
+
+    MEASURED RESULT (v5e, 2026-08-18): numerics at bf16 scale, but e2e the
+    monolith LOSES to the default path (4.53 vs 4.64 img/s): Mosaic's K=320
+    projection matmuls run slower than XLA's gemm fusions, and the single
+    kernel forfeits cross-op overlap — more than the ~0.2 ms/boundary layout
+    copies it eliminates. Kept behind FUSED_BLOCK (default OFF) as the
+    documented design point; the flash-attention-only kernel remains the
+    shipped dispatch."""
+    return _block_impl(x, ln_scale, ln_bias, wq, wk, wv, wo, bo, heads, eps)
+
+
+def _block_fwd(x, ln_scale, ln_bias, wq, wk, wv, wo, bo, heads, eps):
+    out = _block_impl(x, ln_scale, ln_bias, wq, wk, wv, wo, bo, heads, eps)
+    return out, (x, ln_scale, ln_bias, wq, wk, wv, wo, bo)
+
+
+def _block_bwd(heads, eps, res, g):
+    # backward differentiates the identical jnp math (training numerics equal
+    # the unfused status quo; the fused kernel serves the inference forward)
+    x, ln_scale, ln_bias, wq, wk, wv, wo, bo = res
+    _, vjp = jax.vjp(
+        lambda *a: _block_reference(*a, heads, eps),
+        x, ln_scale, ln_bias, wq, wk, wv, wo, bo)
+    return vjp(g)
+
+
+fused_attention_block.defvjp(_block_fwd, _block_bwd)
+
+
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Head-split [B,N,H,D] convenience wrapper. The [B,N,H,D]↔[B,N,H·D]
     reshapes are free (contiguous), so this IS the packed kernel — no HBM
@@ -227,6 +357,8 @@ FLASH_DEFAULT = False
 FLASH_MIN_SEQ = 512  # q-length at which the kernel wins on v5e
 FLASH_MIN_KV = 512   # kv-length too: 77-token cross is faster unfused (sweep_attn)
 FUSE_QKV = False     # self-attn q/k/v as one matmul (models/layers.CrossAttention)
+FUSED_BLOCK = False  # whole attn1 sub-block (LN+qkv+attn+proj+residual) as one kernel
+FUSED_BLOCK_MAX_SEQ = 1024  # [N,N] f32 logits must fit VMEM alongside the slab
 FLASH_BLOCK_Q = 1024      # fwd q rows per program (clamped to divide N; VMEM-bound)
 FLASH_BLOCK_Q_BWD = 256   # bwd is ~3 live [BQ,S] f32 arrays per head — keep small
 

@@ -238,3 +238,69 @@ def test_fuse_qkv_parity_and_tree_compat():
                                    rtol=1e-5, atol=1e-6)
     finally:
         pallas_attention.FUSE_QKV = old
+
+
+def test_fused_attention_block_matches_reference():
+    """fused_attention_block kernel vs the identical jnp math."""
+    ks = jax.random.split(jax.random.PRNGKey(7), 9)
+    b, n, c, heads = 2, 64, 96, 4
+    x = jax.random.normal(ks[0], (b, n, c), jnp.float32)
+    args = (x,
+            jax.random.normal(ks[1], (c,)) * 0.1 + 1.0,
+            jax.random.normal(ks[2], (c,)) * 0.1,
+            jax.random.normal(ks[3], (c, c)) * 0.05,
+            jax.random.normal(ks[4], (c, c)) * 0.05,
+            jax.random.normal(ks[5], (c, c)) * 0.05,
+            jax.random.normal(ks[6], (c, c)) * 0.05,
+            jax.random.normal(ks[7], (c,)) * 0.1)
+    y_k = pallas_attention.fused_attention_block(*args, heads)
+    y_r = pallas_attention._block_reference(*args, heads, 1e-5)
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_r),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_attention_block_grads_match_reference():
+    """custom_vjp backward == jnp-path grads (training numerics unchanged)."""
+    ks = jax.random.split(jax.random.PRNGKey(8), 9)
+    b, n, c, heads = 1, 16, 32, 2
+    args = (jax.random.normal(ks[0], (b, n, c)),
+            jnp.ones((c,)), jnp.zeros((c,)),
+            jax.random.normal(ks[3], (c, c)) * 0.1,
+            jax.random.normal(ks[4], (c, c)) * 0.1,
+            jax.random.normal(ks[5], (c, c)) * 0.1,
+            jax.random.normal(ks[6], (c, c)) * 0.1,
+            jax.random.normal(ks[7], (c,)) * 0.1)
+    f_k = lambda *a: jnp.sum(pallas_attention.fused_attention_block(*a, heads) ** 2)
+    f_r = lambda *a: jnp.sum(pallas_attention._block_reference(*a, heads, 1e-5) ** 2)
+    g_k = jax.grad(f_k, argnums=tuple(range(8)))(*args)
+    g_r = jax.grad(f_r, argnums=tuple(range(8)))(*args)
+    for a, b_ in zip(g_k, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_fused_block_module_parity_and_tree():
+    """BasicTransformerBlock: FUSED_BLOCK path == unfused path on the SAME
+    params (identical tree), at a production-gated N."""
+    from makeupdiffuse_tpu.models.layers import BasicTransformerBlock
+
+    ks = jax.random.split(jax.random.PRNGKey(9), 3)
+    b, n, c, heads = 1, 512, 64, 4  # n >= FLASH_MIN_SEQ so the gate opens
+    x = jax.random.normal(ks[0], (b, n, c), jnp.float32)
+    ctx = jax.random.normal(ks[1], (b, 77, c), jnp.float32)
+    blk = BasicTransformerBlock(heads=heads, dim_head=c // heads)
+
+    old = pallas_attention.FUSED_BLOCK
+    try:
+        pallas_attention.FUSED_BLOCK = False
+        params = blk.init(ks[2], x, ctx)
+        y_ref = blk.apply(params, x, ctx)
+        pallas_attention.FUSED_BLOCK = True
+        p_fused = blk.init(ks[2], x, ctx)
+        jax.tree_util.tree_map(
+            lambda a, b_: np.testing.assert_array_equal(a, b_), params, p_fused)
+        y_fused = blk.apply(params, x, ctx)
+    finally:
+        pallas_attention.FUSED_BLOCK = old
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)
