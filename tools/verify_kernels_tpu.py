@@ -69,6 +69,19 @@ def main():
         for name, a, b in zip("qkv", gf, gr):
             ok &= check(f"flash bwd d{name} n={n}", a, b, 0.5)
 
+    # fused attn1 sub-block (MDT_FUSED_BLOCK knob, default off — PERF.md) at the
+    # production level-0 shape
+    b, n, c, heads = 16, 1024, 320, 8
+    ks = jax.random.split(jax.random.PRNGKey(5), 9)
+    args = (jax.random.normal(ks[0], (b, n, c), jnp.bfloat16),
+            jax.random.normal(ks[1], (c,)) * 0.1 + 1.0,
+            jax.random.normal(ks[2], (c,)) * 0.1,
+            *(jax.random.normal(kk, (c, c), jnp.bfloat16) * 0.05 for kk in ks[3:7]),
+            jax.random.normal(ks[7], (c,)) * 0.1)
+    y_k = jax.jit(lambda *a: pallas_attention.fused_attention_block(*a, heads))(*args)
+    y_r = jax.jit(lambda *a: pallas_attention._block_reference(*a, heads, 1e-5))(*args)
+    ok &= check(f"fused attn1 block b{b} n{n} c{c}", y_k, y_r, 0.05)
+
     print("ALL OK" if ok else "FAILURES PRESENT")
     sys.exit(0 if ok else 1)
 
