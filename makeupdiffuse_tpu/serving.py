@@ -85,6 +85,8 @@ class BatchingEngine:
     def submit(self, src: np.ndarray, ref: np.ndarray) -> _Pending:
         """Enqueue one request; returns a handle whose ``done`` event fires when
         ``out`` (or ``error``) is set. src/ref: [H,W,3] float32 in [0,1]."""
+        if self._stop.is_set():
+            raise RuntimeError("BatchingEngine is shut down")
         if src.ndim != 3 or ref.ndim != 3:
             raise ValueError(f"expected [H,W,3] images, got {src.shape} / {ref.shape}")
         p = _Pending(src=np.asarray(src, np.float32), ref=np.asarray(ref, np.float32),

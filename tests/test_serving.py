@@ -208,3 +208,17 @@ def test_engine_with_dp_sharded_sample_fn():
                 outs[i], np.tanh(srcs[i]) - np.tanh(refs[i]), rtol=1e-5, atol=1e-6)
     finally:
         eng.shutdown()
+
+
+def test_warmup_compiles_every_bucket_and_submit_after_shutdown_raises():
+    calls = []
+    eng = serving.BatchingEngine(_echo_fn(calls), buckets=(1, 2, 4), max_wait_ms=1.0)
+    try:
+        times = eng.warmup(HW)
+        assert sorted(times) == [1, 2, 4] and all(t >= 0 for t in times.values())
+        assert sorted(calls) == [1, 2, 4]  # one compile-shape call per bucket
+    finally:
+        eng.shutdown()
+    x = np.zeros((HW, HW, 3), np.float32)
+    with pytest.raises(RuntimeError, match="shut down"):
+        eng.submit(x, x)
