@@ -14,7 +14,11 @@ environment there are none, so the proof bootstraps its own "pretrained" base fi
 
 Artifacts (committed under artifacts/learnproof/): per-stage loss curves
 (loss_*.jsonl), before/after sample grids for fixed eval hints, and summary.json
-with first/last-window loss means + sample-vs-target MSE before and after B.
+with first/last-window loss means + sample-vs-target MSE before/after B and a
+SHUFFLED-hint control (same trained model, hints rolled by one — what the samples
+look like when the hint is wrong). Decisive = after-control MSE beats both the
+before-control and shuffled-hint MSE by ``--decisive-factor`` (default 5×): the
+samples must visibly follow the hinted position/color, not merely move the loss.
 
 Usage: python scripts/learnproof.py [--cpu] [--steps-a1 N --steps-a2 N --steps-b N]
 """
@@ -30,12 +34,46 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/
 import numpy as np
 
 
-def batcher(ds, batch: int, seed: int):
+def batcher(size: int, batch: int, seed: int):
+    """Vectorized FillCirclesDataset batches (same distribution as the per-item
+    class, drawn B at a time — the host must keep up with scan-chunked steps)."""
     rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    lo, hi = size // 4, 3 * size // 4
     while True:
-        idx = rng.randint(0, len(ds), size=batch)
-        items = [ds[int(i)] for i in idx]
-        yield {k: np.stack([it[k] for it in items]) for k in ("jpg", "hint")}
+        cy = rng.randint(lo, hi, (batch, 1, 1))
+        cx = rng.randint(lo, hi, (batch, 1, 1))
+        r = rng.randint(size // 16, size // 4, (batch, 1, 1))
+        dist = np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
+        outline = (np.abs(dist - r) < 2).astype(np.float32)[..., None]
+        fill = (dist <= r).astype(np.float32)[..., None]
+        color = rng.uniform(0.1, 1, (batch, 1, 1, 3)).astype(np.float32)
+        hint = outline * color
+        target = fill * color + (1 - fill) * 0.5
+        yield {"jpg": (target * 2 - 1).astype(np.float32),
+               "hint": hint.astype(np.float32)}
+
+
+def proof_config(preset: str):
+    """Model for the proof. ``tiny`` = the shared test config (fast CI). ``small``
+    = enough capacity that the from-scratch base model actually generates: the
+    round-3 run showed a 32-ch/1-resblock UNet over an 8² latent never produces
+    structured samples, so the control stage had nothing visible to steer."""
+    from makeupdiffuse_tpu.config import tiny_test_config
+
+    cfg = tiny_test_config()
+    if preset == "tiny":
+        return cfg
+    assert preset == "small", preset
+    from dataclasses import replace
+
+    m = cfg.model
+    unet = replace(m.unet, model_channels=64, num_res_blocks=2,
+                   attention_resolutions=(1, 2))
+    ctrl = replace(m.control, model_channels=64, num_res_blocks=2,
+                   attention_resolutions=(1, 2))
+    vae = replace(m.vae, ch=32)
+    return replace(cfg, model=replace(m, unet=unet, control=ctrl, vae=vae))
 
 
 def run(args):
@@ -43,7 +81,6 @@ def run(args):
     import jax.numpy as jnp
     import optax
 
-    from makeupdiffuse_tpu.config import tiny_test_config
     from makeupdiffuse_tpu.core.ddim import DDIMTables, ddim_sample
     from makeupdiffuse_tpu.core.schedule import DiffusionSchedule
     from makeupdiffuse_tpu.data.synthetic import FillCirclesDataset
@@ -52,7 +89,7 @@ def run(args):
     from makeupdiffuse_tpu.models.clip_text import precompute_prompt_bank
     from makeupdiffuse_tpu.training.logging import make_grid, to_uint8
 
-    cfg = tiny_test_config()
+    cfg = proof_config(args.model)
     m = cfg.model
     model, params = fast_init_model(m, seed=args.seed)
     sched = DiffusionSchedule.create(
@@ -60,7 +97,7 @@ def run(args):
         parameterization=m.parameterization,
     )
     ds = FillCirclesDataset(size=m.image_size, length=10_000, seed=args.seed)
-    batches = batcher(ds, args.batch, args.seed + 1)
+    batches = batcher(m.image_size, args.batch, args.seed + 1)
 
     # fixed text context — exercises the cross-attention path; the task itself is
     # text-free (reference Fill50k uses a constant prompt, datasets.py:257)
@@ -87,12 +124,23 @@ def run(args):
     def train_stage(name, loss_fn, prefixes, lr, steps, p):
         tx = subtree_opt(prefixes, lr)
         opt = tx.init(p)
+        K = max(1, min(args.chunk, steps))  # optimizer steps per device dispatch
 
+        # lax.scan chunking: K steps ride ONE dispatch. Through the axon tunnel
+        # each dispatch + loss fetch costs ~0.3 s of pure latency — per-step
+        # dispatch made the round-3 budget (800 control steps) the most the
+        # wall clock allowed, which is exactly why its samples stayed noise.
         @jax.jit
-        def step(p, opt, batch, key):
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, batch, key)
-            updates, opt = tx.update(grads, opt, p)
-            return optax.apply_updates(p, updates), opt, loss, aux
+        def chunk(p, opt, data, keys):
+            def body(carry, inp):
+                cp, copt = carry
+                batch, key = inp
+                (loss, _aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(cp, batch, key)
+                updates, copt = tx.update(grads, copt, cp)
+                return (optax.apply_updates(cp, updates), copt), loss
+            (p, opt), losses = jax.lax.scan(body, (p, opt), (data, keys))
+            return p, opt, losses
 
         # Deterministic learning probe: the SAME (batch, noise key) evaluated before
         # and after the run. The per-step curve draws fresh timesteps/noise each step,
@@ -107,13 +155,20 @@ def run(args):
         path = os.path.join(args.out, f"loss_{name}.jsonl")
         t0 = time.time()
         with open(path, "w") as f:
-            for i in range(steps):
-                key, k = jax.random.split(key)
-                nb = next(batches)
-                jb = {kk: jnp.asarray(v) for kk, v in nb.items()}
-                p, opt, loss, aux = step(p, opt, jb, k)
-                losses.append(float(loss))
-                f.write(json.dumps({"step": i, "loss": losses[-1]}) + "\n")
+            done = 0
+            while done < steps:
+                k_now = min(K, steps - done)
+                chunk_batches = [next(batches) for _ in range(k_now)]
+                data = {kk: jnp.asarray(np.stack([b[kk] for b in chunk_batches]))
+                        for kk in ("jpg", "hint")}
+                key, sub = jax.random.split(key)
+                keys = jax.random.split(sub, k_now)
+                # a trailing remainder chunk just compiles one smaller program
+                p, opt, closs = chunk(p, opt, data, keys)
+                for i, lv in enumerate(np.asarray(closs)):  # fetch = chunk sync
+                    losses.append(float(lv))
+                    f.write(json.dumps({"step": done + i, "loss": losses[-1]}) + "\n")
+                done += k_now
         probe_last = float(eval_loss(p, probe, probe_key))
         w = max(1, min(50, steps // 4))
         first, last = float(np.mean(losses[:w])), float(np.mean(losses[-w:]))
@@ -155,8 +210,10 @@ def run(args):
     eval_hint6 = jnp.concatenate([eval_hint3, eval_hint3], axis=-1)
     tables = DDIMTables.create(sched, num_steps=args.sample_steps, eta=0.0)
 
-    def sample_grid(p, tag):
-        den = make_denoiser(model, p, ctx(n_eval), eval_hint6)
+    def sample_grid(p, tag, hint6=eval_hint6, hint3=None):
+        if hint3 is None:
+            hint3 = eval_hint3
+        den = make_denoiser(model, p, ctx(n_eval), hint6, schedule=sched)
         x_T = jax.random.normal(jax.random.PRNGKey(7),
                                 (n_eval, m.latent_size, m.latent_size, m.latent_channels))
         z = ddim_sample(jax.jit(den), x_T, tables)
@@ -164,7 +221,7 @@ def run(args):
             model.apply(p, z, method=model.decode_latent), -1, 1))
         mse = float(np.mean((img - eval_target) ** 2))
         tiles = np.concatenate(
-            [np.asarray(eval_hint3) * 2 - 1, img, eval_target], axis=0)
+            [np.asarray(hint3) * 2 - 1, img, eval_target], axis=0)
         grid = make_grid(to_uint8(tiles), nrow=n_eval)
         try:
             from PIL import Image
@@ -176,6 +233,10 @@ def run(args):
         print(f"[samples {tag}] vs-target mse {mse:.4f}", flush=True)
         return mse
 
+    # base-model sanity grid: what the unconditional model draws after A2 — if
+    # this is unstructured noise, stage B has nothing visible to steer and the
+    # budget/capacity must grow before the control proof can mean anything
+    sample_grid(params, "uncond_after_a2", hint6=None)
     mse_before = sample_grid(params, "before_control")
 
     # ---- B: ControlNet only (production sd_locked split) --------------------------
@@ -188,32 +249,57 @@ def run(args):
     params, s_b = train_stage("b_control", control_loss, ("control_model",),
                               args.lr_control, args.steps_b, params)
     mse_after = sample_grid(params, "after_control")
+    # shuffled-hint control: the SAME trained model steered by the wrong hint.
+    # If control truly drives the output, these samples match the wrong target
+    # and the MSE vs the true targets stays high.
+    roll = np.roll(np.arange(n_eval), 1)
+    mse_shuffled = sample_grid(
+        params, "shuffled_hint",
+        hint6=eval_hint6[roll], hint3=np.asarray(eval_hint3)[roll])
 
+    f_before = mse_before / max(mse_after, 1e-12)
+    f_shuffled = mse_shuffled / max(mse_after, 1e-12)
     summary = {
         "a1_vae": s_a1, "a2_unet": s_a2, "b_control": s_b,
         "sample_vs_target_mse": {"before_control": mse_before,
-                                 "after_control": mse_after},
-        "batch": args.batch, "image_size": m.image_size,
+                                 "after_control": mse_after,
+                                 "shuffled_hint": mse_shuffled},
+        "decisive_factor": {"vs_before": f_before, "vs_shuffled": f_shuffled,
+                            "required": args.decisive_factor},
+        "batch": args.batch, "image_size": m.image_size, "model": args.model,
     }
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))
     ok = all(s["probe_last"] < s["probe_first"] for s in (s_a1, s_a2, s_b))
-    print("learning proof: "
-          + ("OK — every stage's fixed-probe loss decreased" if ok else "FAILED"))
+    msg = "OK — every stage's fixed-probe loss decreased" if ok else "FAILED"
+    if args.decisive_factor > 0:
+        decisive = f_before >= args.decisive_factor and f_shuffled >= args.decisive_factor
+        ok = ok and decisive
+        msg += (f"; DECISIVE (before {f_before:.1f}x, shuffled {f_shuffled:.1f}x "
+                f">= {args.decisive_factor}x)") if decisive else (
+            f"; NOT decisive (before {f_before:.1f}x, shuffled {f_shuffled:.1f}x, "
+            f"need {args.decisive_factor}x)")
+    print("learning proof: " + msg)
     return 0 if ok else 1
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--model", choices=("tiny", "small"), default="small")
     ap.add_argument("--batch", type=int, default=32)
-    ap.add_argument("--steps-a1", type=int, default=400)
-    ap.add_argument("--steps-a2", type=int, default=500)
-    ap.add_argument("--steps-b", type=int, default=2500)
-    ap.add_argument("--sample-steps", type=int, default=20)
+    ap.add_argument("--steps-a1", type=int, default=2000)
+    ap.add_argument("--steps-a2", type=int, default=4000)
+    ap.add_argument("--steps-b", type=int, default=6000)
+    ap.add_argument("--sample-steps", type=int, default=50)
+    ap.add_argument("--chunk", type=int, default=25,
+                    help="optimizer steps per device dispatch (lax.scan chunk)")
+    ap.add_argument("--decisive-factor", type=float, default=5.0,
+                    help="after-control MSE must beat before/shuffled by this "
+                         "factor for rc=0; 0 disables the gate")
     ap.add_argument("--lr-vae", type=float, default=1e-3)
-    ap.add_argument("--lr-unet", type=float, default=2e-4)
+    ap.add_argument("--lr-unet", type=float, default=3e-4)
     ap.add_argument("--lr-control", type=float, default=4e-4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="artifacts/learnproof")
