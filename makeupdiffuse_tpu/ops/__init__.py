@@ -20,16 +20,22 @@ def enable_tpu_kernels(enable: bool = True) -> bool:
 
     pallas_attention.FLASH_DEFAULT = enable and os.environ.get("MDT_FLASH_ATTN") != "0"
     pallas_norm.FUSED_DEFAULT = enable and os.environ.get("MDT_FUSED_NORM") != "0"
+    # both experiment knobs gate on `enable` so toggling the master switch in an
+    # A/B sweep disables every fast path, pure-XLA rewrites included
     if os.environ.get("MDT_FUSE_QKV") is not None:
-        pallas_attention.FUSE_QKV = os.environ["MDT_FUSE_QKV"] == "1"
+        pallas_attention.FUSE_QKV = enable and os.environ["MDT_FUSE_QKV"] == "1"
     if os.environ.get("MDT_FUSED_BLOCK") is not None:
         pallas_attention.FUSED_BLOCK = (enable
                                         and os.environ["MDT_FUSED_BLOCK"] == "1")
     for var, attr in (("MDT_FLASH_MIN_SEQ", "FLASH_MIN_SEQ"),
-                      ("MDT_FLASH_MIN_KV", "FLASH_MIN_KV")):
+                      ("MDT_FLASH_MIN_KV", "FLASH_MIN_KV"),
+                      ("MDT_FLASH_BLOCK_Q", "FLASH_BLOCK_Q")):
         val = os.environ.get(var)
         if val is not None:
             setattr(pallas_attention, attr, int(val))
+    if os.environ.get("MDT_FLASH_DIET") is not None:
+        pallas_attention.FLASH_DIET = (enable
+                                       and os.environ["MDT_FLASH_DIET"] == "1")
     return enable
 
 

@@ -39,6 +39,27 @@ def test_flash_forward_matches_xla(n, s, h, d):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("diet", [True, False])
+def test_flash_forward_diet_and_r3_bodies_match_xla(diet):
+    """Both forward bodies — the shipped FLASH_DIET softmax (exp2 +
+    output-folded normalization, +1.05% e2e) and the round-3 A/B reference —
+    must match XLA attention at the served level-0 shape family (D=40, 8
+    heads)."""
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    b, n, h, d = 2, 128, 8, 40
+    q = jax.random.normal(k1, (b, n, h, d))
+    k = jax.random.normal(k2, (b, n, h, d))
+    v = jax.random.normal(k3, (b, n, h, d))
+    old_diet = pallas_attention.FLASH_DIET
+    try:
+        pallas_attention.FLASH_DIET = diet
+        out = pallas_attention.flash_attention(q, k, v)
+    finally:
+        pallas_attention.FLASH_DIET = old_diet
+    ref = mha_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
 def test_flash_backward_cross_shape():
     """Cross-attention (n≠s, 77-token KV) backward through the kernel. The
     production dispatch routes 77-token KV to XLA (FLASH_MIN_KV — measured
