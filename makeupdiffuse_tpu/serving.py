@@ -14,6 +14,12 @@ call:
   most ``max_wait_ms`` for co-riders, picks the smallest bucket that fits, and
   issues ONE device program for the whole group — the TPU analog of the
   reference's DataLoader batching, applied at serving time.
+- **Pipelined dispatch**: submit and fetch are split across two threads. JAX
+  dispatch is asynchronous, so the dispatcher can assemble + submit group N+1
+  while the collector thread blocks on the host fetch of group N — the device
+  never idles on group assembly, padding, or output fan-out (bounded by
+  ``pipeline_depth`` groups in flight). ``sample_fn`` must therefore NOT force
+  a host sync itself; return the device array and let the collector fetch.
 - **Zero dependencies**: the wire protocol is newline-delimited JSON over a
   local TCP socket (stdlib ``socket``/``threading``); tensors travel as .npy
   file paths so the hot path never serializes images through JSON.
@@ -36,7 +42,9 @@ from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-# sample_fn(src [B,H,W,3] f32 [0,1], ref [B,H,W,3], seed int) -> [B,H,W,3] in [-1,1]
+# sample_fn(src [B,H,W,3] f32 [0,1], ref [B,H,W,3], seed int) -> [B,H,W,3] in [-1,1].
+# May return a device array (preferred — lets the engine overlap the next group's
+# assembly with device compute); the collector thread's np.asarray is the fetch.
 SampleFn = Callable[[np.ndarray, np.ndarray, int], np.ndarray]
 
 
@@ -49,6 +57,7 @@ class _Pending:
     error: Optional[str] = None
     t_submit: float = 0.0
     t_done: float = 0.0
+    cancelled: bool = False  # set by a timed-out waiter; engine skips/discards
 
     @property
     def latency_ms(self) -> float:
@@ -61,24 +70,45 @@ class BatchingEngine:
     ``buckets`` must be sorted ascending; the largest bucket is the max batch.
     ``max_wait_ms`` bounds the time the dispatcher holds the FIRST request of a
     group open for co-riders — throughput/latency knob, not a correctness one.
+    ``image_hw``, when given, pins the exact request shape at submit() so a
+    stray-sized image can neither kill a device batch nor trigger a fresh XLA
+    compile in steady state (every warmed bucket shares this H=W).
+    ``pipeline_depth`` bounds how many groups may be submitted-but-unfetched;
+    2 gives the assemble/compute overlap, more only adds queueing latency.
     """
 
     def __init__(self, sample_fn: SampleFn, buckets: Sequence[int] = (1, 2, 4, 8),
-                 max_wait_ms: float = 30.0):
-        if list(buckets) != sorted(set(int(b) for b in buckets)) or buckets[0] < 1:
+                 max_wait_ms: float = 30.0, image_hw: Optional[int] = None,
+                 pipeline_depth: int = 2):
+        if (not buckets or list(buckets) != sorted(set(int(b) for b in buckets))
+                or buckets[0] < 1):
             raise ValueError(f"buckets must be ascending unique positives: {buckets}")
         self.sample_fn = sample_fn
         self.buckets = [int(b) for b in buckets]
         self.max_wait_s = max_wait_ms / 1e3
+        self.image_hw = int(image_hw) if image_hw else None
         self._q: "queue.Queue[Optional[_Pending]]" = queue.Queue()
+        self._results: "queue.Queue[Optional[tuple]]" = queue.Queue()
+        self._depth = max(1, int(pipeline_depth))
+        self._inflight_slots = threading.Semaphore(self._depth)
         self._lock = threading.Lock()
-        self._stats = dict(requests=0, batches=0, padded_slots=0, errors=0)
+        self._stats = dict(requests=0, batches=0, padded_slots=0, errors=0,
+                           cancelled=0)
         self._latencies: List[float] = []
+        # in-flight interval accounting → device occupancy (stats())
+        self._inflight_n = 0
+        self._busy_since = 0.0
+        self._busy_accum = 0.0
+        self._span_start: Optional[float] = None
+        self._span_end = 0.0
         self._seed = np.random.SeedSequence(0)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._dispatch_loop, daemon=True,
                                         name="mdt-serve-dispatch")
+        self._collector = threading.Thread(target=self._collect_loop, daemon=True,
+                                           name="mdt-serve-collect")
         self._thread.start()
+        self._collector.start()
 
     # ---- client side ------------------------------------------------------------
 
@@ -87,8 +117,15 @@ class BatchingEngine:
         ``out`` (or ``error``) is set. src/ref: [H,W,3] float32 in [0,1]."""
         if self._stop.is_set():
             raise RuntimeError("BatchingEngine is shut down")
-        if src.ndim != 3 or ref.ndim != 3:
-            raise ValueError(f"expected [H,W,3] images, got {src.shape} / {ref.shape}")
+        want = (self.image_hw, self.image_hw, 3) if self.image_hw else None
+        for name, img in (("src", src), ("ref", ref)):
+            if img.ndim != 3 or img.shape[-1] != 3:
+                raise ValueError(f"{name}: expected [H,W,3], got {img.shape}")
+            if want is not None and tuple(img.shape) != want:
+                raise ValueError(f"{name}: expected {want} (the warmed bucket "
+                                 f"shape), got {tuple(img.shape)}")
+        if src.shape != ref.shape:
+            raise ValueError(f"src/ref shapes differ: {src.shape} vs {ref.shape}")
         p = _Pending(src=np.asarray(src, np.float32), ref=np.asarray(ref, np.float32),
                      done=threading.Event(), t_submit=time.time())
         self._q.put(p)
@@ -96,9 +133,15 @@ class BatchingEngine:
 
     def transfer(self, src: np.ndarray, ref: np.ndarray,
                  timeout: Optional[float] = None) -> np.ndarray:
-        """Blocking convenience wrapper around submit()."""
+        """Blocking convenience wrapper around submit(). On timeout the pending
+        request is cancelled: the engine drops it from any not-yet-submitted
+        group and excludes it from latency stats (a full device batch is not
+        spent on a waiter that already gave up)."""
         p = self.submit(src, ref)
         if not p.done.wait(timeout):
+            p.cancelled = True
+            with self._lock:
+                self._stats["cancelled"] += 1
             raise TimeoutError("transfer timed out")
         if p.error is not None:
             raise RuntimeError(p.error)
@@ -120,7 +163,10 @@ class BatchingEngine:
 
     def _take_group(self) -> Optional[List[_Pending]]:
         """Block for the first request, then hold the window open for co-riders
-        up to max_wait_s or the largest bucket, whichever first."""
+        up to max_wait_s or the largest bucket — and KEEP holding it while the
+        pipeline is full: submit would block on a slot anyway, so waiting for
+        a fuller (less padded) bucket is free device throughput. Under
+        sustained load groups converge to the largest bucket."""
         try:
             first = self._q.get(timeout=0.25)
         except queue.Empty:
@@ -130,14 +176,18 @@ class BatchingEngine:
         group = [first]
         deadline = time.time() + self.max_wait_s
         max_b = self.buckets[-1]
-        while len(group) < max_b:
+        while len(group) < max_b and not self._stop.is_set():
             remaining = deadline - time.time()
             if remaining <= 0:
-                break
+                with self._lock:
+                    pipeline_full = self._inflight_n >= self._depth
+                if not pipeline_full:
+                    break  # a slot is free — launch what we have
+                remaining = 0.005  # device busy: co-rider wait costs nothing
             try:
                 nxt = self._q.get(timeout=remaining)
             except queue.Empty:
-                break
+                continue  # loop re-checks deadline/pipeline state
             if nxt is None:
                 self._q.put(None)  # re-post sentinel for the outer loop
                 break
@@ -146,55 +196,122 @@ class BatchingEngine:
 
     def _dispatch_loop(self) -> None:
         while not self._stop.is_set():
-            group = self._take_group()
-            if group is None:
-                continue
-            self._run_group(group)
+            group = None
+            try:
+                group = self._take_group()
+                if group is None:
+                    continue
+                self._submit_group(group)
+            except Exception as e:  # the dispatcher must outlive any one group
+                try:
+                    if group:
+                        self._fail_group(group, e)
+                except Exception:
+                    pass
 
-    def _run_group(self, group: List[_Pending]) -> None:
-        n = len(group)
-        bucket = next(b for b in self.buckets if b >= n)
-        src = np.stack([p.src for p in group] + [group[-1].src] * (bucket - n))
-        ref = np.stack([p.ref for p in group] + [group[-1].ref] * (bucket - n))
-        seed = int(self._seed.spawn(1)[0].generate_state(1)[0])
-        try:
-            out = np.asarray(self.sample_fn(src, ref, seed))
-        except Exception as e:  # surface device errors to every waiter
-            with self._lock:
-                self._stats["errors"] += n
-            for p in group:
-                p.error = f"{type(e).__name__}: {e}"
-                p.t_done = time.time()
-                p.done.set()
-            return
-        t_done = time.time()
-        for i, p in enumerate(group):
-            p.out = out[i]
-            p.t_done = t_done
-            p.done.set()
+    def _fail_group(self, group: List[_Pending], e: Exception) -> None:
+        live = [p for p in group if not p.cancelled]
         with self._lock:
-            self._stats["requests"] += n
-            self._stats["batches"] += 1
-            self._stats["padded_slots"] += bucket - n
-            self._latencies.extend(p.latency_ms for p in group)
+            self._stats["errors"] += len(live)
+        for p in live:
+            p.error = f"{type(e).__name__}: {e}"
+            p.t_done = time.time()
+            p.done.set()
+
+    def _submit_group(self, group: List[_Pending]) -> None:
+        """Assemble + submit ONE device batch; the collector thread fetches it.
+        Bounded by pipeline_depth groups in flight, so group N+1's stacking,
+        padding and seed draw overlap group N's device compute."""
+        group = [p for p in group if not p.cancelled]
+        if not group:
+            return
+        self._inflight_slots.acquire()
+        try:
+            n = len(group)
+            bucket = next(b for b in self.buckets if b >= n)
+            src = np.stack([p.src for p in group] + [group[-1].src] * (bucket - n))
+            ref = np.stack([p.ref for p in group] + [group[-1].ref] * (bucket - n))
+            seed = int(self._seed.spawn(1)[0].generate_state(1)[0])
+            out = self.sample_fn(src, ref, seed)  # async dispatch — no fetch here
+        except Exception as e:
+            self._inflight_slots.release()
+            self._fail_group(group, e)
+            return
+        now = time.time()
+        with self._lock:
+            if self._span_start is None:
+                self._span_start = now
+            if self._inflight_n == 0:
+                self._busy_since = now
+            self._inflight_n += 1
+        self._results.put((group, bucket, out))
+
+    def _collect_loop(self) -> None:
+        while True:
+            item = self._results.get()
+            if item is None:
+                return
+            group, bucket, out = item
+            err: Optional[Exception] = None
+            try:
+                arr = np.asarray(out)  # the host fetch that truly syncs
+            except Exception as e:  # async device errors surface at fetch time
+                err = e
+            self._inflight_slots.release()
+            t_done = time.time()
+            with self._lock:
+                self._inflight_n -= 1
+                if self._inflight_n == 0:
+                    self._busy_accum += t_done - self._busy_since
+                self._span_end = t_done
+            if err is not None:
+                self._fail_group(group, err)
+                continue
+            live = []
+            for i, p in enumerate(group):
+                if p.cancelled:  # waiter gave up mid-flight; drop silently
+                    continue
+                p.out = arr[i]
+                p.t_done = t_done
+                p.done.set()
+                live.append(p)
+            with self._lock:
+                self._stats["requests"] += len(live)
+                self._stats["batches"] += 1
+                self._stats["padded_slots"] += bucket - len(group)
+                self._latencies.extend(p.latency_ms for p in live)
 
     def stats(self) -> Dict[str, float]:
         with self._lock:
             s = dict(self._stats)
             lats = sorted(self._latencies)
+            busy = self._busy_accum
+            if self._inflight_n > 0:  # close the open interval for reporting
+                busy += time.time() - self._busy_since
+            span_start, span_end = self._span_start, self._span_end
+            if self._inflight_n > 0:
+                span_end = time.time()
         if lats:
             s["latency_ms_p50"] = lats[len(lats) // 2]
             s["latency_ms_p95"] = lats[min(len(lats) - 1, int(len(lats) * 0.95))]
             s["latency_ms_max"] = lats[-1]
         if s["batches"]:
+            # fraction of batch slots holding real requests (padding efficiency)
             s["mean_occupancy"] = s["requests"] / (
                 s["requests"] + s["padded_slots"])
+        if span_start is not None and span_end > span_start:
+            # fraction of the serving span with >=1 group submitted-but-unfetched:
+            # an upper bound on device busy time — if THIS is < 1 the chip idled
+            # waiting on the host (the round-3 dispatcher's hidden 37% gap)
+            s["device_occupancy"] = busy / (span_end - span_start)
         return s
 
     def shutdown(self) -> None:
         self._stop.set()
         self._q.put(None)
         self._thread.join(timeout=5)
+        self._results.put(None)
+        self._collector.join(timeout=5)
 
 
 # ---- wire protocol -------------------------------------------------------------

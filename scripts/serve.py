@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--selftest", action="store_true",
                     help="run an in-process concurrent-client benchmark and exit")
     ap.add_argument("--clients", type=int, default=12)
+    ap.add_argument("--requests-per-client", type=int, default=3,
+                    help="sequential transfers per selftest client (closed loop "
+                         "— steady-state throughput, not one-shot ramp)")
     ap.add_argument("--dp", type=int, default=1,
                     help="data-parallel serving over N devices: each batch is "
                          "sharded over a 1-D data mesh (every bucket must be "
@@ -136,16 +139,19 @@ def main():
         def sample_fn(src, ref, seed):
             s = jax.device_put(jnp.asarray(src), b_shard)
             r = jax.device_put(jnp.asarray(ref), b_shard)
-            return np.asarray(_sample(params, s, r, jnp.uint32(seed)))
+            return _sample(params, s, r, jnp.uint32(seed))
     else:
 
         def sample_fn(src, ref, seed):
-            # params stays an argument (never a closure constant — CLAUDE.md);
-            # np.asarray is the host fetch that truly syncs the dispatch
-            return np.asarray(_sample(params, jnp.asarray(src), jnp.asarray(ref),
-                                      jnp.uint32(seed)))
+            # params stays an argument (never a closure constant — CLAUDE.md).
+            # No host fetch here: the dispatch is async, and the engine's
+            # collector thread does the np.asarray fetch — that split is what
+            # lets group N+1's assembly overlap group N's device compute.
+            return _sample(params, jnp.asarray(src), jnp.asarray(ref),
+                           jnp.uint32(seed))
     engine = serving.BatchingEngine(sample_fn, buckets=buckets,
-                                    max_wait_ms=args.max_wait_ms)
+                                    max_wait_ms=args.max_wait_ms,
+                                    image_hw=m.image_size)
     print(f"# warmup: compiling buckets {buckets} "
           f"(one-off; steady state never compiles)...", file=sys.stderr, flush=True)
     times = engine.warmup(m.image_size)
@@ -157,7 +163,8 @@ def main():
     host, port = server.start()
 
     if args.selftest:
-        _selftest(server, engine, host, port, m.image_size, args.clients)
+        _selftest(server, engine, host, port, m.image_size, args.clients,
+                  args.requests_per_client)
         server.shutdown()
         engine.shutdown()
         return
@@ -173,8 +180,12 @@ def main():
         engine.shutdown()
 
 
-def _selftest(server, engine, host, port, hw, n_clients):
-    """Concurrent synthetic clients against the live socket; prints one JSON line."""
+def _selftest(server, engine, host, port, hw, n_clients, reqs_per_client=3):
+    """Concurrent closed-loop clients against the live socket; prints one JSON
+    line. Each client issues `reqs_per_client` sequential transfers so the
+    number measures STEADY-STATE throughput under sustained concurrency (a
+    single one-shot wave mostly measures the pipeline ramp + the final
+    straggler group)."""
     from makeupdiffuse_tpu import serving
 
     tmp = tempfile.mkdtemp(prefix="mdt_serve_")
@@ -191,7 +202,10 @@ def _selftest(server, engine, host, port, hw, n_clients):
     def client(i):
         c = serving.TransferClient(host, port)
         try:
-            results[i] = c.transfer(*paths[i])
+            for _ in range(reqs_per_client):
+                results[i] = c.transfer(*paths[i])
+                if not (results[i] and results[i].get("ok")):
+                    return
         finally:
             c.close()
 
@@ -202,6 +216,7 @@ def _selftest(server, engine, host, port, hw, n_clients):
     for t in threads:
         t.join()
     wall = time.time() - t0
+    total = n_clients * reqs_per_client
 
     ok = sum(1 for r in results if r and r.get("ok"))
     bad = [r for r in results if not (r and r.get("ok"))]
@@ -212,10 +227,12 @@ def _selftest(server, engine, host, port, hw, n_clients):
     stats = engine.stats()
     print(json.dumps({
         "selftest": "ok" if ok == n_clients else f"FAIL ({len(bad)} errors)",
-        "clients": n_clients, "wall_s": round(wall, 2),
-        "transfers_per_sec": round(n_clients / wall, 3),
+        "clients": n_clients, "requests_per_client": reqs_per_client,
+        "wall_s": round(wall, 2),
+        "transfers_per_sec": round(total / wall, 3),
         "batches": stats["batches"],
         "mean_occupancy": round(stats.get("mean_occupancy", 0.0), 3),
+        "device_occupancy": round(stats.get("device_occupancy", 0.0), 3),
         "latency_ms_p50": round(stats.get("latency_ms_p50", 0.0), 1),
         "latency_ms_p95": round(stats.get("latency_ms_p95", 0.0), 1),
     }), flush=True)

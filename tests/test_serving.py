@@ -105,6 +105,107 @@ def test_bad_bucket_spec_rejected():
         serving.BatchingEngine(lambda s, r, i: s, buckets=(4, 2))
     with pytest.raises(ValueError):
         serving.BatchingEngine(lambda s, r, i: s, buckets=(0, 2))
+    with pytest.raises(ValueError):  # empty spec must be a ValueError, not IndexError
+        serving.BatchingEngine(lambda s, r, i: s, buckets=())
+
+
+def test_submit_rejects_wrong_shape_and_engine_survives():
+    """A stray-sized request is refused at submit() (never reaches the device —
+    no mid-batch crash, no steady-state recompile), and the engine keeps
+    serving correctly-shaped requests afterwards."""
+    calls = []
+    eng = serving.BatchingEngine(_echo_fn(calls), buckets=(1, 2), max_wait_ms=1.0,
+                                 image_hw=HW)
+    try:
+        good = np.full((HW, HW, 3), 0.5, np.float32)
+        with pytest.raises(ValueError, match="warmed bucket"):
+            eng.submit(np.zeros((HW + 4, HW + 4, 3), np.float32), good)
+        with pytest.raises(ValueError, match=r"\[H,W,3\]"):
+            eng.submit(np.zeros((HW, HW, 4), np.float32),
+                       np.zeros((HW, HW, 4), np.float32))
+        with pytest.raises(ValueError, match="differ"):
+            serving.BatchingEngine(_echo_fn([]), buckets=(1,)).submit(
+                good, np.zeros((HW * 2, HW * 2, 3), np.float32))
+        out = eng.transfer(good, good, timeout=10)  # engine still alive
+        np.testing.assert_allclose(out, 0.0)
+    finally:
+        eng.shutdown()
+
+
+def test_timeout_cancels_pending():
+    """A timed-out transfer is dropped: the engine never spends a device batch
+    on it and its latency never enters the stats."""
+    release = threading.Event()
+
+    def slow_fn(src, ref, seed):
+        release.wait(10)
+        return (src - ref).astype(np.float32)
+
+    # depth 1 so the first (slow) group blocks the queue while we time out
+    eng = serving.BatchingEngine(slow_fn, buckets=(1,), max_wait_ms=1.0,
+                                 pipeline_depth=1)
+    try:
+        x = np.zeros((HW, HW, 3), np.float32)
+        blocker = eng.submit(x, x)  # occupies the device
+        with pytest.raises(TimeoutError):
+            eng.transfer(x, x, timeout=0.2)  # gives up while queued
+        release.set()
+        assert blocker.done.wait(10) and blocker.error is None
+        deadline = time.time() + 5
+        while eng.stats()["batches"] < 1 and time.time() < deadline:
+            time.sleep(0.01)
+        s = eng.stats()
+        assert s["cancelled"] == 1
+        # the cancelled request must not have produced a second device batch
+        assert s["batches"] == 1 and s["requests"] == 1
+    finally:
+        release.set()
+        eng.shutdown()
+
+
+def test_pipelined_dispatch_overlaps_groups():
+    """With pipeline_depth=2 the dispatcher submits group N+1 while group N is
+    still 'on device' (simulated by a sample_fn returning a lazy handle whose
+    np.asarray blocks) — and stats() reports the device_occupancy measure."""
+    submitted = []
+    fetch_gate = threading.Semaphore(0)
+
+    class LazyOut:
+        """Stands in for an async jax.Array: np.asarray blocks until released."""
+
+        def __init__(self, val):
+            self.val = val
+
+        def __array__(self, dtype=None, copy=None):
+            fetch_gate.acquire()
+            return self.val
+
+    def fn(src, ref, seed):
+        submitted.append(time.time())
+        return LazyOut((src - ref).astype(np.float32))
+
+    eng = serving.BatchingEngine(fn, buckets=(1,), max_wait_ms=1.0,
+                                 pipeline_depth=2)
+    try:
+        x = np.full((HW, HW, 3), 0.25, np.float32)
+        h1 = eng.submit(x, x)
+        h2 = eng.submit(x, x)
+        # both groups must be SUBMITTED before either is fetched (overlap)
+        deadline = time.time() + 5
+        while len(submitted) < 2 and time.time() < deadline:
+            time.sleep(0.005)
+        assert len(submitted) == 2, "second group was not dispatched while the first was in flight"
+        fetch_gate.release()
+        fetch_gate.release()
+        assert h1.done.wait(10) and h2.done.wait(10)
+        np.testing.assert_allclose(h1.out, 0.0)
+        s = eng.stats()
+        assert s["batches"] == 2 and "device_occupancy" in s
+        assert 0.0 < s["device_occupancy"] <= 1.0
+    finally:
+        fetch_gate.release()
+        fetch_gate.release()
+        eng.shutdown()
 
 
 def test_socket_server_roundtrip(tmp_path):
