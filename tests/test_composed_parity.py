@@ -189,6 +189,50 @@ class TorchOracle:
         control = self.controlnet(x, hint, t, ctx)
         return self.unet(x, t, ctx, control)
 
+    # ---- VAE decoder (ldm AutoencoderKL.decode semantics) -----------------------
+
+    def vae_resblock(self, h, pfx):
+        x = h
+        h = F.silu(self.gn(h, pfx + ".norm1", eps=1e-6))
+        h = self.conv(h, pfx + ".conv1")
+        h = F.silu(self.gn(h, pfx + ".norm2", eps=1e-6))
+        h = self.conv(h, pfx + ".conv2")
+        if (pfx + ".nin_shortcut.weight") in self.sd:
+            x = self.conv(x, pfx + ".nin_shortcut")
+        return x + h
+
+    def vae_attn(self, h, pfx):
+        hn = self.gn(h, pfx + ".norm", eps=1e-6)
+        q, k, v = (self.conv(hn, pfx + s) for s in (".q", ".k", ".v"))
+        b, c, hh, ww = q.shape
+        q = q.reshape(b, c, hh * ww)
+        k = k.reshape(b, c, hh * ww)
+        v = v.reshape(b, c, hh * ww)
+        w = torch.softmax(q.permute(0, 2, 1) @ k / math.sqrt(c), -1)
+        out = (v @ w.permute(0, 2, 1)).reshape(b, c, hh, ww)
+        return h + self.conv(out, pfx + ".proj_out")
+
+    def vae_decode(self, z_scaled):
+        """decode_first_stage: z / scale_factor → post_quant_conv → Decoder
+        (mid res/attn/res, per-level res-blocks + nearest-2× upsample convs,
+        silu(norm_out), conv_out) — /root/reference/diffmk/makeup_diffuse.py:172-177."""
+        v = self.cfg.vae
+        z = z_scaled / self.cfg.scale_factor
+        h = self.conv(z, "first_stage_model.post_quant_conv")
+        d = "first_stage_model.decoder"
+        h = self.conv(h, d + ".conv_in")
+        h = self.vae_resblock(h, d + ".mid.block_1")
+        h = self.vae_attn(h, d + ".mid.attn_1")
+        h = self.vae_resblock(h, d + ".mid.block_2")
+        for level in reversed(range(len(v.ch_mult))):
+            for i in range(v.num_res_blocks + 1):
+                h = self.vae_resblock(h, f"{d}.up.{level}.block.{i}")
+            if level != 0:
+                h = F.interpolate(h, scale_factor=2, mode="nearest")
+                h = self.conv(h, f"{d}.up.{level}.upsample.conv")
+        h = F.silu(self.gn(h, d + ".norm_out", eps=1e-6))
+        return self.conv(h, d + ".conv_out")
+
     def clip(self, ids):
         pfx = "cond_stage_model.transformer.text_model"
         c = self.cfg.clip
@@ -402,3 +446,17 @@ def test_oracle_ddim_chain_psnr(converted):
     psnr = 10.0 * math.log10(peak ** 2 / max(mse, 1e-20))
     print(f"oracle-chain latent PSNR over {S} DDIM steps: {psnr:.1f} dB")
     assert psnr >= 40.0, f"composed-chain PSNR {psnr:.1f} dB < 40 dB"
+
+    # IMAGE-space PSNR: continue the chain through the converted VAE decode on
+    # both sides — this is how the >=40 dB BASELINE target would be measured
+    # with real weights (decode_first_stage before save_local,
+    # /root/reference/diffmk/diffusion_makeup.py:396,409) (VERDICT r3 #8)
+    img_got = np.asarray(model.apply(params, jnp.asarray(got),
+                                     method=model.decode_latent))
+    img_want = oracle.vae_decode(
+        _nchw(want).float()).permute(0, 2, 3, 1).numpy()
+    mse_img = float(np.mean((img_got - img_want) ** 2))
+    # fidelity vs the [-1,1] display range the artifacts are clamped to
+    psnr_img = 10.0 * math.log10(2.0 ** 2 / max(mse_img, 1e-20))
+    print(f"oracle-chain IMAGE PSNR (chain + VAE decode): {psnr_img:.1f} dB")
+    assert psnr_img >= 40.0, f"image-space chain PSNR {psnr_img:.1f} dB < 40 dB"
