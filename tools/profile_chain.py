@@ -30,17 +30,26 @@ import jax
 import jax.numpy as jnp
 
 
-_KIND_RX = re.compile(r"=\s*[a-z0-9]+\[[^\]]*\](?:\{[^}]*\})?\s*([a-z][a-z0-9-]*)\(")
+_KIND_RX = re.compile(r"[\s)}]([a-z][a-z0-9-]*)\(")
 
 
 def hlo_kind(long_name: str) -> str:
     """Op KIND from the HLO text '%name = type[shape]{layout} kind(operands…)'.
 
-    NOTE: substring-matching 'custom-call' against the whole line is WRONG —
-    operand lists name custom-call-producing INPUTS, so plain fusions that merely
-    consume a Pallas output get miscounted as custom calls (this inflated the
-    round-2/3 'custom_call_other' share ~4×; corrected 2026-08-18)."""
-    m = _KIND_RX.search(long_name)
+    Two past attribution bugs live here — do not reintroduce them:
+    1. substring-matching 'custom-call' against the whole line is WRONG —
+       operand lists name custom-call-producing INPUTS, so plain fusions that
+       merely consume a Pallas output get miscounted as custom calls (inflated
+       the round-2/3 'custom_call_other' share ~4×; corrected 2026-08-18).
+    2. requiring a single 'type[shape]{layout}' before the kind is WRONG —
+       TUPLE-typed ops ('= (f32[..], bf16[..]) fusion(..)': conv weight-grad
+       fusions, flash-attn bwd custom-calls) fell into 'other' (33% of the
+       train-step trace; corrected 2026-08-19).
+    The kind is the first lowercase word followed by '(' after the '='; layout
+    tokens like T(8,128)/S(1) are uppercase and '(2,1)' starts with a digit, so
+    neither can match."""
+    _, eq, rhs = long_name.partition(" = ")
+    m = _KIND_RX.search(rhs if eq else long_name)
     return m.group(1) if m else "?"
 
 
@@ -108,15 +117,88 @@ def report(ops, total_label: str):
     return total, by_cat
 
 
+def profile_train_step(args):
+    """Per-op-kind device-time shares for the composite train step (VERDICT r3 #7).
+
+    Traces the SAME program bench.py --train times: flagship 5-term composite
+    loss (reference semantics: /root/reference/diffmk/diffusion_makeup.py
+    training_step), ControlNet-only AdamW, batch 6, Pallas kernels + remat +
+    cast_frozen_to_bf16, donated state. Repeats vary the rng so no dispatch is
+    a bitwise-identical re-serve."""
+    from makeupdiffuse_tpu.config import Config
+    from makeupdiffuse_tpu.core.schedule import DiffusionSchedule
+    from makeupdiffuse_tpu.models.controlled_ldm import fast_init_model
+    from makeupdiffuse_tpu.ops import enable_tpu_kernels
+    from makeupdiffuse_tpu.training.train_state import TrainState, cast_frozen_to_bf16
+    from makeupdiffuse_tpu.training.train_step import make_train_step
+
+    enable_tpu_kernels(not args.no_kernels)
+    cfg = Config()  # remat ON — required to fit b6 in 16G HBM
+    m = cfg.model
+    b = args.batch or cfg.train.batch_size
+    print(f"# init flagship model (batch {b})...", file=sys.stderr, flush=True)
+    model, params = fast_init_model(m)
+    params = cast_frozen_to_bf16(params, sd_locked=cfg.train.sd_locked)
+    state = TrainState.create(params, cfg.train, m)
+    sched = DiffusionSchedule.create(
+        timesteps=m.timesteps, linear_start=m.linear_start,
+        linear_end=m.linear_end, parameterization=m.parameterization)
+    step_fn = make_train_step(model, sched, m)
+
+    H = m.image_size
+    ks = jax.random.split(jax.random.PRNGKey(1), 9)
+    u = lambda k, *s: jax.random.uniform(k, s)
+    batch = dict(
+        src_img=u(ks[0], b, H, H, 3),
+        ref_img=u(ks[1], b, H, H, 3),
+        nonmakeup_img=u(ks[2], b, H, H, 3) * 2 - 1,
+        makeup_img=u(ks[3], b, H, H, 3) * 2 - 1,
+        nonmakeup_seg=jax.random.randint(ks[4], (b, H, H), 0, 14),
+        mask_s_full=(u(ks[5], b, H, H, 4) > 0.7).astype(jnp.float32),
+        pgt_sr=u(ks[6], b, H, H, 3) * 2 - 1,
+        makeup_pgt=u(ks[7], b, H, H, 3) * 2 - 1,
+        context=jax.random.normal(ks[8], (b, m.clip.max_length, m.unet.context_dim)),
+    )
+
+    print("# compiling composite train step (minutes through the tunnel)...",
+          file=sys.stderr, flush=True)
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(2))
+    jax.device_get(metrics["loss"])  # host fetch = the only true sync
+
+    repeats = args.repeats
+    tdir = tempfile.mkdtemp(prefix="mdt_prof_train_")
+    t0 = time.time()
+    with jax.profiler.trace(tdir):
+        for i in range(repeats):
+            state, metrics = step_fn(state, batch, jax.random.PRNGKey(3 + i))
+            jax.device_get(metrics["loss"])
+    wall = time.time() - t0
+    ops = parse_trace(tdir)
+    total, _ = report(ops, f"composite train step x{repeats} (batch {b})")
+    per_step = total / 1e3 / repeats
+    print(f"\nper-step device time: {per_step:.1f} ms vs wall "
+          f"{wall * 1e3 / repeats:.1f} ms/step "
+          f"(gap = host/dispatch/fetch idle)")
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=16, help="CFG-doubled batch")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="CFG-doubled batch (default 16; train mode: config b6)")
     ap.add_argument("--repeats", type=int, default=10)
     ap.add_argument("--full", action="store_true",
                     help="also trace the full 50-step pipeline (one call)")
+    ap.add_argument("--train", action="store_true",
+                    help="trace the composite train step instead (b6, kernels + "
+                         "remat + bf16-frozen — the bench.py --train program)")
     ap.add_argument("--no-kernels", action="store_true",
                     help="profile with Pallas kernels disabled (XLA-only baseline)")
     args = ap.parse_args()
+
+    if args.train:
+        profile_train_step(args)
+        return
+    args.batch = args.batch or 16
 
     from makeupdiffuse_tpu.config import ModelConfig
     from makeupdiffuse_tpu.core.ddim import DDIMTables, ddim_sample
