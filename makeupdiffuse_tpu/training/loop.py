@@ -10,6 +10,7 @@ over the data mesh axis; the teacher (histogram PGT) runs inside jit.
 """
 from __future__ import annotations
 
+import logging
 import time
 from typing import Callable, Dict, Iterator, Optional
 
@@ -132,6 +133,12 @@ def fit(
         per_step = (now - last_flush) / len(pending)
         for (s, _), vals in zip(pending, fetched):
             metrics_log.log(s, {k: float(v) for k, v in vals.items()})
+        skipped = [s for (s, _), vals in zip(pending, fetched)
+                   if float(vals.get("skipped_nonfinite", 0.0)) > 0]
+        if skipped:  # the in-graph guard kept the weights; tell the operator
+            logging.getLogger(__name__).warning(
+                "non-finite loss/grads at step(s) %s — update skipped by the "
+                "train-step guard (weights/optimizer/EMA untouched)", skipped)
         metrics_log.log(pending[-1][0], {
             "perf/step_seconds": per_step,
             "perf/steps_per_sec": 1.0 / per_step if per_step > 0 else 0.0,

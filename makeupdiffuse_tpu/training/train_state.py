@@ -96,15 +96,29 @@ class TrainState(flax.struct.PyTreeNode):
             ema_decay=ema_decay,
         )
 
-    def apply_gradients(self, grads) -> "TrainState":
+    def apply_gradients(self, grads, ok: jnp.ndarray | None = None) -> "TrainState":
+        """One optimizer step. ``ok`` (scalar bool, traced) gates the update
+        in-graph: when False the params / moments / EMA keep their old values
+        and only ``step`` advances — the non-finite-step guard. The selects are
+        elementwise and fuse into the update chain (no extra HBM pass), and
+        nothing is fetched to host, so dispatch pipelining is preserved — the
+        TPU-native version of a "skip this batch on NaN" trainer guard (the
+        reference's Lightning harness has none; SURVEY.md §5 failure detection)."""
         updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        tm = jax.tree_util.tree_map
+        if ok is not None:
+            updates = tm(lambda u: jnp.where(ok, u, jnp.zeros_like(u)), updates)
+            new_opt = tm(lambda n, o: jnp.where(ok, n, o), new_opt, self.opt_state)
         new_params = optax.apply_updates(self.params, updates)
         new_ema = self.ema_params
         if new_ema is not None:
             d = self.ema_decay
-            new_ema = jax.tree_util.tree_map(
+            new_ema = tm(
                 lambda e, p: d * e + (1.0 - d) * p, new_ema, new_params
             )
+            if ok is not None:  # skipped step must leave the EMA untouched too
+                new_ema = tm(lambda n, o: jnp.where(ok, n, o),
+                             new_ema, self.ema_params)
         return self.replace(
             step=self.step + 1,
             params=new_params,

@@ -19,8 +19,16 @@ from .train_state import TrainState
 
 
 def make_train_step(model: ControlledLDM, sched: DiffusionSchedule, cfg: ModelConfig,
-                    donate: bool = True):
-    """Returns jitted `step(state, batch, rng) -> (state, metrics)`."""
+                    donate: bool = True, guard_nonfinite: bool = True):
+    """Returns jitted `step(state, batch, rng) -> (state, metrics)`.
+
+    ``guard_nonfinite`` (default on, the production setting): a bad batch or a
+    loss spike that produces a non-finite loss/gradient skips the parameter /
+    optimizer / EMA update for that step instead of poisoning the weights
+    forever. The check rides the already-computed global grad norm (a sum of
+    squares, so any NaN/Inf anywhere in the gradient tree surfaces in it) and
+    the gate is a traced scalar — no host round trip, dispatch pipelining
+    intact. `metrics["skipped_nonfinite"]` reports the gate per step."""
 
     def loss_fn(params, batch, rng, t_min):
         return composite_loss(model, params, sched, cfg, batch, rng, t_min)
@@ -30,9 +38,15 @@ def make_train_step(model: ControlledLDM, sched: DiffusionSchedule, cfg: ModelCo
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng, state.t_min
         )
-        new_state = state.apply_gradients(grads)
+        grad_norm = optax_global_norm(grads)
+        ok = None
+        if guard_nonfinite:
+            ok = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+        new_state = state.apply_gradients(grads, ok=ok)
         metrics = dict(metrics)
-        metrics["grad_norm"] = optax_global_norm(grads)
+        metrics["grad_norm"] = grad_norm
+        if ok is not None:
+            metrics["skipped_nonfinite"] = 1.0 - ok.astype(jnp.float32)
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())

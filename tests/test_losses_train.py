@@ -266,3 +266,37 @@ def test_cast_frozen_to_bf16(setup):
         model, p, sched, cfg.model, b, jax.random.PRNGKey(0), jnp.asarray(100)
     ))(cast, batch)
     assert np.isfinite(float(loss))
+
+
+def test_nonfinite_guard_skips_update(setup):
+    """A batch that produces a non-finite loss/grads must NOT move params,
+    optimizer moments or EMA — only `step` advances — and the next clean batch
+    must train normally (in-graph guard, train_step.py; the reference's
+    Lightning harness would silently poison the weights forever)."""
+    import flax
+    cfg, model, params, sched = setup
+    params = _trained_like(params)
+    state = TrainState.create(params, cfg.train, cfg.model, use_ema=True)
+    step = make_train_step(model, sched, cfg.model, donate=False)
+
+    bad = dict(_batch(cfg))
+    bad["pgt_sr"] = jnp.asarray(bad["pgt_sr"]).at[0, 0, 0, 0].set(jnp.nan)
+    s1, m1 = step(state, bad, jax.random.PRNGKey(0))
+    assert float(m1["skipped_nonfinite"]) == 1.0
+    assert not np.isfinite(float(m1["loss"]))
+    assert int(s1.step) == 1  # the loop moves on; only the update is skipped
+    for tree_a, tree_b in ((state.params, s1.params),
+                           (state.ema_params, s1.ema_params),
+                           (state.opt_state, s1.opt_state)):
+        for a, b in zip(jax.tree_util.tree_leaves(tree_a),
+                        jax.tree_util.tree_leaves(tree_b)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    good = _batch(cfg, seed=3)
+    s2, m2 = step(s1, good, jax.random.PRNGKey(1))
+    assert float(m2["skipped_nonfinite"]) == 0.0
+    assert np.isfinite(float(m2["loss"]))
+    old = flax.traverse_util.flatten_dict(s1.params["params"], sep="/")
+    new = flax.traverse_util.flatten_dict(s2.params["params"], sep="/")
+    assert any(not np.allclose(old[k], new[k]) for k in old), \
+        "clean step after a skipped one did not train"
