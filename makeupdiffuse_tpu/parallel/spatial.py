@@ -1,0 +1,66 @@
+"""Spatial parallelism (sp): shard ACTIVATIONS over the image height axis.
+
+The reference is single-GPU (pl.Trainer(gpus=1), /root/reference/runs/train.py:55)
+and its latency floor for one 256² transfer is one GPU's forward. Here a single
+sample's eps forward can be spread over several chips by sharding the NHWC
+activations on H — the TPU-native route to LATENCY scaling (batch=1, big image),
+where DP/TP buy little:
+
+* Convolutions: GSPMD spatially partitions them, inserting halo exchanges over
+  ICI for the kernel overlap rows — no model-code changes, the placement IS the
+  program (scaling-book recipe: annotate IO, let XLA insert collectives).
+* Self-attention: the (B, H·W, C) flatten keeps H as the major axis of the
+  merged sequence dim, so the sharding propagates; XLA gathers K/V along the
+  sequence for the QKᵀ contraction — the Megatron sequence-parallel pattern,
+  and like Megatron-SP the sp axis RIDES the ``model`` mesh axis (same ICI
+  group as TP; dp×sp meshes therefore reuse make_mesh unchanged).
+* GroupNorm's spatial reductions become psums over the model axis.
+
+Caveat (documented, not hidden): the Pallas flash-attention kernel is a
+per-device program; under sp the attention falls back to the XLA path (the
+kernels are dispatch-gated and off by default — ops/__init__.py). Wiring flash
+into sp needs a shard_map ring, a future-round item.
+
+Equivalence vs the replicated forward is pinned on the 8-device CPU mesh
+(tests/test_sharding.py::test_sp_forward_matches_replicated) and the driver's
+dryrun compiles + runs a dp2×sp4 segment (__graft_entry__.dryrun_multichip).
+"""
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import DATA_AXIS, MODEL_AXIS
+
+
+def activation_spec(batch_sharded: bool = True) -> P:
+    """NHWC activation spec: batch on ``data`` (optional), H on ``model``."""
+    return P(DATA_AXIS if batch_sharded else None, MODEL_AXIS, None, None)
+
+
+def sp_shard_inputs(mesh: Mesh, x, t, ctx, hint):
+    """Place one eps-forward input set for a dp×sp mesh: images sharded on
+    (data=batch, model=H), per-sample vectors on batch only."""
+    nhwc = NamedSharding(mesh, activation_spec())
+    vec = NamedSharding(mesh, P(DATA_AXIS))
+    seq = NamedSharding(mesh, P(DATA_AXIS, None, None))
+    return (jax.device_put(x, nhwc), jax.device_put(t, vec),
+            jax.device_put(ctx, seq), jax.device_put(hint, nhwc))
+
+
+def make_sp_eps_fn(model, mesh: Mesh):
+    """Jit the eps forward with sp IO shardings: params replicated, latent/hint
+    sharded (batch over ``data``, H over ``model``), eps out sharded the same.
+    GSPMD propagates the spatial sharding through the UNet+ControlNet — halo
+    exchanges for convs, sequence gathers for attention — purely from these
+    annotations."""
+    nhwc = NamedSharding(mesh, activation_spec())
+    rep = NamedSharding(mesh, P())
+    vec = NamedSharding(mesh, P(DATA_AXIS))
+    seq = NamedSharding(mesh, P(DATA_AXIS, None, None))
+
+    def fn(p, x, t, ctx, hint):
+        return model.apply(p, x, t, ctx, hint, method=model.apply_eps)
+
+    return jax.jit(fn, in_shardings=(rep, nhwc, vec, seq, nhwc),
+                   out_shardings=nhwc)

@@ -84,6 +84,29 @@ def test_tp_forward_matches_replicated(setup):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+def test_sp_forward_matches_replicated(setup):
+    """apply_eps with ACTIVATIONS sharded over H (dp2 × sp4, parallel/spatial.py)
+    == replicated. Exercises GSPMD's conv halo exchange + attention sequence
+    gathers purely from IO sharding annotations — the latency-scaling mode the
+    single-GPU reference cannot express."""
+    from makeupdiffuse_tpu.parallel import spatial as sp
+    cfg, model, params = setup
+    x, t, ctx, hint = _eps_inputs(cfg)
+
+    def fn(p, x, t, ctx, hint):
+        return model.apply(p, x, t, ctx, hint, method=model.apply_eps)
+
+    ref = jax.jit(fn)(params, x, t, ctx, hint)
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    fn_sp = sp.make_sp_eps_fn(model, mesh)
+    xs, ts, cs, hs = sp.sp_shard_inputs(mesh, x, t, ctx, hint)
+    out = fn_sp(replicate(mesh, params), xs, ts, cs, hs)
+    # the output really is H-sharded (placement, not just a copy of the ref)
+    assert out.sharding.spec == sp.activation_spec()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
 def _composite_batch(cfg, b=8, seed=3):
     m = cfg.model
     H = m.image_size
