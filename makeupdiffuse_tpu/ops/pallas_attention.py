@@ -414,6 +414,12 @@ def attention(
     FLASH_MIN_SEQ=256 + cross-on-flash experiment regressed the e2e bench
     4.15→4.01 img/s and was reverted."""
     flash = FLASH_DEFAULT if use_flash is None else use_flash
+    from . import sp_attention  # lazy: sp_attention imports this module
+    if sp_attention.applicable(q, k, mask):
+        # spatial parallelism: sequence axis is sharded — run as a shard_map
+        # island (all-gather K/V + per-device flash, or a ppermute ring) so the
+        # Pallas kernel stays usable on sharded activations (ops/sp_attention.py)
+        return sp_attention.sp_self_attention(q, k, v, use_flash=flash)
     if (flash and mask is None and q.shape[1] >= FLASH_MIN_SEQ
             and k.shape[1] >= FLASH_MIN_KV):
         return flash_attention(q, k, v)

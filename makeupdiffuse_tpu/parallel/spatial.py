@@ -16,14 +16,17 @@ where DP/TP buy little:
   group as TP; dp×sp meshes therefore reuse make_mesh unchanged).
 * GroupNorm's spatial reductions become psums over the model axis.
 
-Caveat (documented, not hidden): the Pallas flash-attention kernel is a
-per-device program; under sp the attention falls back to the XLA path (the
-kernels are dispatch-gated and off by default — ops/__init__.py). Wiring flash
-into sp needs a shard_map ring, a future-round item.
+* Self-attention can instead run as a shard_map island (``sp_attn=`` below):
+  all-gather K/V + the per-device Pallas flash kernel (the right collective at
+  ≤1024 tokens), or a ppermute ring with online-softmax combine (the
+  long-sequence pattern) — ops/sp_attention.py. This closes the round-3 "flash
+  kernel needs a shard_map ring" deferral: the kernel now runs on
+  sequence-sharded activations.
 
 Equivalence vs the replicated forward is pinned on the 8-device CPU mesh
-(tests/test_sharding.py::test_sp_forward_matches_replicated) and the driver's
-dryrun compiles + runs a dp2×sp4 segment (__graft_entry__.dryrun_multichip).
+(tests/test_sharding.py::test_sp_forward_matches_replicated, ::test_sp_attention_modes)
+and the driver's dryrun compiles + runs a dp2×sp4 segment, both GSPMD-attention
+and flash-island variants (__graft_entry__.dryrun_multichip).
 """
 from __future__ import annotations
 
@@ -48,19 +51,37 @@ def sp_shard_inputs(mesh: Mesh, x, t, ctx, hint):
             jax.device_put(ctx, seq), jax.device_put(hint, nhwc))
 
 
-def make_sp_eps_fn(model, mesh: Mesh):
+def make_sp_eps_fn(model, mesh: Mesh, sp_attn: str | None = None):
     """Jit the eps forward with sp IO shardings: params replicated, latent/hint
     sharded (batch over ``data``, H over ``model``), eps out sharded the same.
     GSPMD propagates the spatial sharding through the UNet+ControlNet — halo
     exchanges for convs, sequence gathers for attention — purely from these
-    annotations."""
+    annotations.
+
+    ``sp_attn``: None (default) leaves attention to GSPMD; "allgather" or
+    "ring" routes eligible self-attention calls through the shard_map island in
+    ops/sp_attention.py (all-gather K/V + per-device flash kernel, or a
+    ppermute ring). The switch is consulted at TRACE time, so it is set/cleared
+    around the model.apply inside the jitted body — same global-switch pattern
+    as the kernel knobs in ops/__init__.py."""
     nhwc = NamedSharding(mesh, activation_spec())
     rep = NamedSharding(mesh, P())
     vec = NamedSharding(mesh, P(DATA_AXIS))
     seq = NamedSharding(mesh, P(DATA_AXIS, None, None))
 
     def fn(p, x, t, ctx, hint):
-        return model.apply(p, x, t, ctx, hint, method=model.apply_eps)
+        if sp_attn is None:
+            return model.apply(p, x, t, ctx, hint, method=model.apply_eps)
+        from ..ops import sp_attention
+        prev = (sp_attention.MESH, sp_attention.MODE,
+                sp_attention.DATA_AXIS, sp_attention.SEQ_AXIS)
+        sp_attention.enable(mesh, mode=sp_attn,
+                            data_axis=DATA_AXIS, seq_axis=MODEL_AXIS)
+        try:
+            return model.apply(p, x, t, ctx, hint, method=model.apply_eps)
+        finally:
+            (sp_attention.MESH, sp_attention.MODE,
+             sp_attention.DATA_AXIS, sp_attention.SEQ_AXIS) = prev
 
     return jax.jit(fn, in_shardings=(rep, nhwc, vec, seq, nhwc),
                    out_shardings=nhwc)
