@@ -85,3 +85,75 @@ def make_sp_eps_fn(model, mesh: Mesh, sp_attn: str | None = None):
 
     return jax.jit(fn, in_shardings=(rep, nhwc, vec, seq, nhwc),
                    out_shardings=nhwc)
+
+
+def sp_shard_sample_inputs(mesh: Mesh, x_T, src, ref, ctx, uctx):
+    """Place one product-transfer input set for a dp×sp mesh: latent noise and
+    source/reference images sharded on (data=batch, model=H), CLIP contexts on
+    batch only."""
+    nhwc = NamedSharding(mesh, activation_spec())
+    seq = NamedSharding(mesh, P(DATA_AXIS, None, None))
+    put = jax.device_put
+    return (put(x_T, nhwc), put(src, nhwc), put(ref, nhwc),
+            put(ctx, seq), put(uctx, seq))
+
+
+def make_sp_sample_fn(model, mesh: Mesh, tables, cfg_scale: float = 9.0,
+                      sp_attn: str | None = None):
+    """Jit the FULL product transfer chain — CFG denoiser → sampler scan → VAE
+    decode (api.transfer's exact math) — with sp IO shardings, so one sample's
+    latency is spread over the ``model`` axis. This is what spatial parallelism
+    is FOR: the reference's latency floor is one GPU's 50-step chain
+    (/root/reference/diffmk/diffusion_makeup.py:292-303, single device per
+    runs/test.py:55); here the same chain runs with every activation's H axis
+    sharded over ICI, batch-1 included.
+
+    ``tables`` may be ``core.ddim.DDIMTables`` or ``core.dpm_solver.DPMTables``
+    (the fast path), mirroring api.transfer. ``sp_attn`` as in make_sp_eps_fn:
+    None → GSPMD attention; "allgather"/"ring" → shard_map islands around the
+    Pallas kernel (ops/sp_attention.py).
+
+    Returns ``fn(params, x_T, src_img, ref_img, context, uncond_context) ->
+    [-1,1] image``, with inputs placed by ``sp_shard_sample_inputs``.
+    Equivalence vs the replicated api.transfer chain is pinned in
+    tests/test_sharding.py::test_sp_sample_matches_replicated."""
+    import jax.numpy as jnp
+    from ..core.ddim import DDIMTables, ddim_sample
+    from ..core.dpm_solver import DPMTables, dpmpp_2m_sample
+    from ..models.controlled_ldm import make_denoiser
+
+    nhwc = NamedSharding(mesh, activation_spec())
+    rep = NamedSharding(mesh, P())
+    seq = NamedSharding(mesh, P(DATA_AXIS, None, None))
+
+    if isinstance(tables, DPMTables):
+        sample = dpmpp_2m_sample
+    elif isinstance(tables, DDIMTables):
+        sample = ddim_sample
+    else:
+        raise TypeError(f"tables must be DDIMTables or DPMTables, got {type(tables)}")
+
+    def chain(p, x_T, src, ref, ctx, uctx):
+        hint = jnp.concatenate([src, ref], axis=-1)
+        den = make_denoiser(model, p, ctx, hint,
+                            uncond_context=uctx, cfg_scale=cfg_scale)
+        z = sample(den, x_T, tables)
+        img = model.apply(p, z, method=model.decode_latent)
+        return jnp.clip(img, -1.0, 1.0)
+
+    def fn(p, x_T, src, ref, ctx, uctx):
+        if sp_attn is None:
+            return chain(p, x_T, src, ref, ctx, uctx)
+        from ..ops import sp_attention
+        prev = (sp_attention.MESH, sp_attention.MODE,
+                sp_attention.DATA_AXIS, sp_attention.SEQ_AXIS)
+        sp_attention.enable(mesh, mode=sp_attn,
+                            data_axis=DATA_AXIS, seq_axis=MODEL_AXIS)
+        try:
+            return chain(p, x_T, src, ref, ctx, uctx)
+        finally:
+            (sp_attention.MESH, sp_attention.MODE,
+             sp_attention.DATA_AXIS, sp_attention.SEQ_AXIS) = prev
+
+    return jax.jit(fn, in_shardings=(rep, nhwc, nhwc, nhwc, seq, seq),
+                   out_shardings=nhwc)

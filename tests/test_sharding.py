@@ -167,6 +167,40 @@ def test_sp_forward_attn_islands_match_replicated(setup):
                                    rtol=2e-5, atol=2e-5, err_msg=mode)
 
 
+def test_sp_sample_matches_replicated(setup):
+    """The FULL product transfer chain (CFG denoiser → DDIM scan → VAE decode)
+    under spatial parallelism == the replicated api.transfer — the batch-1
+    latency path end to end, with and without the attention shard_map islands."""
+    from makeupdiffuse_tpu import api
+    from makeupdiffuse_tpu.core.ddim import DDIMTables
+    from makeupdiffuse_tpu.parallel import spatial as sp
+    cfg, model, params = setup
+    m = cfg.model
+    b = 2
+    sched = DiffusionSchedule.create(
+        timesteps=m.timesteps, linear_start=m.linear_start, linear_end=m.linear_end)
+    tables = DDIMTables.create(sched, num_steps=3)
+    k1, k2, k3, k4, rng = jax.random.split(jax.random.PRNGKey(23), 5)
+    src = jax.random.uniform(k1, (b, m.image_size, m.image_size, 3))
+    refi = jax.random.uniform(k2, (b, m.image_size, m.image_size, 3))
+    ctx = jax.random.normal(k3, (b, m.clip.max_length, m.unet.context_dim))
+    uctx = jax.random.normal(k4, (b, m.clip.max_length, m.unet.context_dim))
+
+    ref = api.transfer(model, params, sched, tables, src, refi, ctx, uctx,
+                       rng, cfg_scale=9.0)
+    # the exact x_T api.transfer drew, fed to the sp chain (same noise, same math)
+    x_T = jax.random.normal(rng, (b, m.latent_size, m.latent_size, m.latent_channels))
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    p_rep = replicate(mesh, params)
+    ins = sp.sp_shard_sample_inputs(mesh, x_T, src, refi, ctx, uctx)
+    for mode in (None, "allgather"):
+        out = sp.make_sp_sample_fn(model, mesh, tables, sp_attn=mode)(p_rep, *ins)
+        assert out.sharding.spec == sp.activation_spec()
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5, err_msg=str(mode))
+
+
 def _composite_batch(cfg, b=8, seed=3):
     m = cfg.model
     H = m.image_size
