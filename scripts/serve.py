@@ -7,6 +7,7 @@ makeupdiffuse_tpu/serving.py for the batching/bucket design.
 Usage:
   python scripts/serve.py [--tiny] [--cpu] [--port 7860] [--buckets 1,2,4,8]
                           [--steps 50] [--sampler ddim|dpmpp] [--params p.pkl]
+                          [--dp N] [--sp N]   # data-/spatial-parallel mesh serving
   python scripts/serve.py --selftest [--clients 12] ...   # in-process benchmark
 
 Selftest spins the server up in-process, fires N concurrent synthetic clients
@@ -52,14 +53,20 @@ def main():
                     help="data-parallel serving over N devices: each batch is "
                          "sharded over a 1-D data mesh (every bucket must be "
                          "divisible by N)")
+    ap.add_argument("--sp", type=int, default=1,
+                    help="spatial-parallel serving over N devices: every "
+                         "sample's activations shard over image H "
+                         "(parallel/spatial.py) — the batch-1 LATENCY mode; "
+                         "composes with --dp on a dp×sp mesh")
     args = ap.parse_args()
 
-    if args.cpu and args.dp > 1:
-        # virtual CPU mesh for DP serving without chips — must precede backend init
+    n_mesh = args.dp * args.sp
+    if args.cpu and n_mesh > 1:
+        # virtual CPU mesh for DP/SP serving without chips — must precede backend init
         flags = os.environ.get("XLA_FLAGS", "")
         if "xla_force_host_platform_device_count" not in flags:
             os.environ["XLA_FLAGS"] = (
-                flags + f" --xla_force_host_platform_device_count={args.dp}").strip()
+                flags + f" --xla_force_host_platform_device_count={n_mesh}").strip()
 
     import jax
 
@@ -123,7 +130,32 @@ def main():
 
     buckets = tuple(int(b) for b in args.buckets.split(","))
 
-    if args.dp > 1:
+    if args.sp > 1:
+        # SP serving: each sample's activations shard over image H on the
+        # `model` axis — the latency mode (a 1-request bucket still uses every
+        # chip). Composes with --dp: batch over `data`, H over `model`.
+        from makeupdiffuse_tpu.parallel import spatial as spx
+        from makeupdiffuse_tpu.parallel.mesh import make_mesh, replicate
+
+        bad = [b for b in buckets if b % args.dp]
+        if bad:
+            ap.error(f"--dp {args.dp}: buckets {bad} not divisible by the mesh")
+        mesh = make_mesh(n_data=args.dp, n_model=args.sp)
+        params = replicate(mesh, params)
+        sp_fn = spx.make_sp_sample_fn(model, mesh, tables,
+                                      cfg_scale=args.cfg_scale)
+
+        def sample_fn(src, ref, seed):
+            b = src.shape[0]
+            ctx = jnp.tile(ctx1, (b, 1, 1))
+            uc = jnp.tile(uc1, (b, 1, 1))
+            x_T = jax.random.normal(
+                jax.random.PRNGKey(seed),
+                (b, m.latent_size, m.latent_size, m.latent_channels))
+            ins = spx.sp_shard_sample_inputs(mesh, x_T, jnp.asarray(src),
+                                             jnp.asarray(ref), ctx, uc)
+            return sp_fn(params, *ins)
+    elif args.dp > 1:
         # DP serving: batch sharded over the data axis, params replicated —
         # XLA runs each bucket as one SPMD program across the mesh
         from makeupdiffuse_tpu.parallel.mesh import (batch_sharding, make_mesh,
