@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from ..config import ControlNetConfig
 from .layers import (
+    QConv,
     ResBlock,
     SpatialTransformer,
     TimeEmbedding,
@@ -78,9 +79,11 @@ class ControlNet(nn.Module):
             guided_hint = HintStem(cfg.model_channels, self.dtype, name="input_hint_block")(hint)
 
         def zero_conv(h, idx):
-            return nn.Conv(h.shape[-1], (1, 1), dtype=self.dtype,
-                           kernel_init=zero_init(), bias_init=zero_init(),
-                           name=f"zero_conv_{idx}")(h)
+            # QConv: in-scan 1x1 GEMMs ride the int8 path under ops.quant.QUANT8
+            # (conv_in / the hoisted hint stem stay bf16 — tiny contractions)
+            return QConv(h.shape[-1], (1, 1), dtype=self.dtype,
+                         kernel_init=zero_init(), bias_init=zero_init(),
+                         name=f"zero_conv_{idx}")(h)
 
         outs: List[jnp.ndarray] = []
         h = nn.Conv(cfg.model_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
@@ -109,7 +112,7 @@ class ControlNet(nn.Module):
         h = RB(ch, cfg.dropout, self.dtype, name="mid_res_0")(h, emb)
         h = ST(cfg.num_heads, cfg.transformer_depth, self.dtype, name="mid_attn")(h, context)
         h = RB(ch, cfg.dropout, self.dtype, name="mid_res_1")(h, emb)
-        outs.append(nn.Conv(ch, (1, 1), dtype=self.dtype,
-                            kernel_init=zero_init(), bias_init=zero_init(),
-                            name="middle_block_out")(h))
+        outs.append(QConv(ch, (1, 1), dtype=self.dtype,
+                          kernel_init=zero_init(), bias_init=zero_init(),
+                          name="middle_block_out")(h))
         return outs

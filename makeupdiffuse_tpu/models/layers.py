@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops import pallas_attention, pallas_norm
+from ..ops import pallas_attention, pallas_norm, quant
 
 Dtype = Any
 
@@ -37,6 +37,71 @@ def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: int = 10000
 
 def zero_init() -> Callable:
     return nn.initializers.zeros_init()
+
+
+class QConv(nn.Module):
+    """nn.Conv drop-in (identical param tree: <name>/kernel HWIO + bias) whose
+    GEMM routes through the int8 MXU path when ``ops.quant.QUANT8`` is on.
+
+    With the knob off it emits the exact lax.conv_general_dilated HLO nn.Conv
+    emits (promote-to-dtype, NHWC·HWIO, bias broadcast), so parity tests and
+    checkpoints see no difference; with it on, weights quantize per-output-
+    channel and activations per-tensor in-graph (ops/quant.py rationale)."""
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    strides: tuple = (1, 1)
+    padding: Any = "SAME"
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", self.kernel_init,
+                            (kh, kw, x.shape[-1], self.features))
+        bias = (self.param("bias", self.bias_init, (self.features,))
+                if self.use_bias else None)
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+        if quant.QUANT8:
+            return quant.qconv(x, kernel, bias, tuple(self.strides), pad,
+                               out_dtype=self.dtype)
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x, kernel, tuple(self.strides), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if bias is not None:
+            y = y + bias.reshape((1,) * (y.ndim - 1) + (-1,))
+        return y
+
+
+class QDense(nn.Module):
+    """nn.Dense drop-in (identical param tree) with the same QUANT8 dispatch as
+    QConv — used for the attention/FF projection GEMMs in the eps hot path."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.features))
+        bias = (self.param("bias", nn.initializers.zeros_init(), (self.features,))
+                if self.use_bias else None)
+        if quant.QUANT8:
+            return quant.qdense(x, kernel, bias, out_dtype=self.dtype)
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        y = jax.lax.dot_general(x, kernel,
+                                (((x.ndim - 1,), (0,)), ((), ())))
+        if bias is not None:
+            y = y + bias
+        return y
 
 
 class GroupNorm32(nn.Module):
@@ -77,20 +142,20 @@ class ResBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
         in_ch = x.shape[-1]
         h = GroupNorm32(act="silu", name="in_norm")(x)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(h)
+        h = QConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(h)
 
         emb_out = nn.Dense(self.out_channels, dtype=self.dtype, name="emb_proj")(nn.silu(emb))
         # time-emb add fuses into the norm's single VMEM pass (ops.pallas_norm)
         h = GroupNorm32(act="silu", name="out_norm")(h, add=emb_out)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout, deterministic=True)(h)
-        h = nn.Conv(
+        h = QConv(
             self.out_channels, (3, 3), padding=1, dtype=self.dtype,
             kernel_init=zero_init(), bias_init=zero_init(), name="out_conv",
         )(h)
 
         if in_ch != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="skip")(x)
+            x = QConv(self.out_channels, (1, 1), dtype=self.dtype, name="skip")(x)
         return x + h
 
 
@@ -134,9 +199,9 @@ class CrossAttention(nn.Module):
             xc, wc = nn.dtypes.promote_dtype(x, w, dtype=self.dtype)
             q, k, v = jnp.split(xc @ wc, 3, axis=-1)
         else:
-            q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-            k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
-            v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+            q = QDense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+            k = QDense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+            v = QDense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
         b, nq, _ = q.shape
         nk = k.shape[1]
         q = q.reshape(b, nq, self.heads, self.dim_head)
@@ -144,7 +209,7 @@ class CrossAttention(nn.Module):
         v = v.reshape(b, nk, self.heads, self.dim_head)
         # dispatches to the Pallas flash kernel when FLASH_DEFAULT is on (TPU)
         out = pallas_attention.attention(q, k, v).reshape(b, nq, inner)
-        return nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(out)
+        return QDense(x.shape[-1], dtype=self.dtype, name="to_out")(out)
 
 
 class FeedForwardGEGLU(nn.Module):
@@ -157,10 +222,10 @@ class FeedForwardGEGLU(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         dim = x.shape[-1]
         inner = dim * self.mult
-        xg = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
+        xg = QDense(inner * 2, dtype=self.dtype, name="proj_in")(x)
         x1, gate = jnp.split(xg, 2, axis=-1)
         h = x1 * nn.gelu(gate, approximate=False)
-        return nn.Dense(dim, dtype=self.dtype, name="proj_out")(h)
+        return QDense(dim, dtype=self.dtype, name="proj_out")(h)
 
 
 class _LNParams(nn.Module):
@@ -254,14 +319,14 @@ class SpatialTransformer(nn.Module):
         dim_head = c // self.heads
         x_in = x
         x = GroupNorm32(epsilon=1e-6, name="norm")(x)
-        x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(x)
+        x = QConv(c, (1, 1), dtype=self.dtype, name="proj_in")(x)
         x = x.reshape(b, h * w, c)
         for i in range(self.depth):
             x = BasicTransformerBlock(
                 self.heads, dim_head, self.dtype, name=f"block_{i}"
             )(x, context)
         x = x.reshape(b, h, w, c)
-        x = nn.Conv(
+        x = QConv(
             c, (1, 1), dtype=self.dtype,
             kernel_init=zero_init(), bias_init=zero_init(), name="proj_out",
         )(x)
@@ -276,8 +341,8 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.Conv(self.channels, (3, 3), strides=(2, 2), padding=1,
-                       dtype=self.dtype, name="conv")(x)
+        return QConv(self.channels, (3, 3), strides=(2, 2), padding=1,
+                     dtype=self.dtype, name="conv")(x)
 
 
 class Upsample(nn.Module):
@@ -290,7 +355,7 @@ class Upsample(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
-        return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+        return QConv(self.channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
 
 
 class TimeEmbedding(nn.Module):

@@ -39,6 +39,20 @@ def enable_tpu_kernels(enable: bool = True) -> bool:
     return enable
 
 
+def enable_quant8(enable: bool = True) -> bool:
+    """Switch the w8a8 dynamic-quantized UNet/ControlNet GEMM path on/off
+    (ops/quant.py; QConv/QDense in models/layers.py read it at trace time).
+
+    NUMERICS-CHANGING: int8 weights/activations on the MXU's 2x rate. Never
+    implied by ``enable_tpu_kernels`` — drivers opt in explicitly
+    (``bench.py --quant8``, ``scripts/serve.py --quant8``); the measured
+    throughput/PSNR trade lives in PERF.md."""
+    from . import quant
+
+    quant.QUANT8 = bool(enable)
+    return quant.QUANT8
+
+
 def enable_tpu_kernels_if_tpu() -> bool:
     """Enable the Pallas fast paths iff the default JAX backend is a TPU-like
     device (the axon plugin registers as a non-cpu platform).
