@@ -29,6 +29,16 @@ def make_train_step(model: ControlledLDM, sched: DiffusionSchedule, cfg: ModelCo
     squares, so any NaN/Inf anywhere in the gradient tree surfaces in it) and
     the gate is a traced scalar — no host round trip, dispatch pipelining
     intact. `metrics["skipped_nonfinite"]` reports the gate per step."""
+    from ..ops import quant
+
+    # w8a8 is inference-only: quantize_symmetric's round/clip has zero gradient
+    # almost everywhere, so training under QUANT8 would silently freeze the
+    # weights (ADVICE r4). Fail loudly at trace-build time instead.
+    if quant.QUANT8:
+        raise RuntimeError(
+            "ops.quant.QUANT8 is on but make_train_step was requested — the "
+            "w8a8 path is inference-only (round/clip kills weight gradients); "
+            "call ops.enable_quant8(False) before building a train step")
 
     def loss_fn(params, batch, rng, t_min):
         return composite_loss(model, params, sched, cfg, batch, rng, t_min)

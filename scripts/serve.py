@@ -58,6 +58,17 @@ def main():
                          "sample's activations shard over image H "
                          "(parallel/spatial.py) — the batch-1 LATENCY mode; "
                          "composes with --dp on a dp×sp mesh")
+    ap.add_argument("--sp-attn", default=None,
+                    choices=["gspmd", "allgather", "ring"],
+                    help="self-attention strategy under --sp. Default: "
+                         "'allgather' shard_map island when Pallas kernels are "
+                         "on (GSPMD cannot partition the flash custom call over "
+                         "H-sharded activations — ops/sp_attention.py), else "
+                         "'gspmd' (plain XLA attention, partitioned by GSPMD)")
+    ap.add_argument("--quant8", action="store_true",
+                    help="route UNet/ControlNet GEMMs through the w8a8 int8 MXU "
+                         "path (ops/quant.py; also honored via env MDT_QUANT8=1; "
+                         "throughput/PSNR trade in PERF.md)")
     args = ap.parse_args()
 
     n_mesh = args.dp * args.sp
@@ -73,9 +84,11 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")  # before any jax.devices() call
 
-    from makeupdiffuse_tpu.ops import enable_tpu_kernels_if_tpu
+    from makeupdiffuse_tpu.ops import enable_quant8, enable_tpu_kernels_if_tpu
 
-    enable_tpu_kernels_if_tpu()
+    kernels_on = enable_tpu_kernels_if_tpu()
+    if args.quant8 or os.environ.get("MDT_QUANT8") == "1":
+        enable_quant8(True)
 
     import jax.numpy as jnp
 
@@ -142,8 +155,14 @@ def main():
             ap.error(f"--dp {args.dp}: buckets {bad} not divisible by the mesh")
         mesh = make_mesh(n_data=args.dp, n_model=args.sp)
         params = replicate(mesh, params)
-        sp_fn = spx.make_sp_sample_fn(model, mesh, tables,
-                                      cfg_scale=args.cfg_scale)
+        # With Pallas kernels on, GSPMD can't partition the flash custom call
+        # over H-sharded activations — default to the all-gather shard_map
+        # island (right collective at ≤1024 tokens, ops/sp_attention.py)
+        sp_attn = args.sp_attn or ("allgather" if kernels_on else "gspmd")
+        print(f"# sp self-attention strategy: {sp_attn}", file=sys.stderr)
+        sp_fn = spx.make_sp_sample_fn(
+            model, mesh, tables, cfg_scale=args.cfg_scale,
+            sp_attn=None if sp_attn == "gspmd" else sp_attn)
 
         def sample_fn(src, ref, seed):
             b = src.shape[0]

@@ -102,6 +102,20 @@ def test_enable_quant8_knob():
     assert quant.QUANT8 is False
 
 
+def test_make_train_step_refuses_quant8(tiny_model_session):
+    """w8a8 is inference-only: round/clip has zero gradient a.e., so a train
+    step built under QUANT8 would silently freeze the weights (ADVICE r4).
+    make_train_step must fail loudly at build time instead."""
+    from makeupdiffuse_tpu.core.schedule import DiffusionSchedule
+    from makeupdiffuse_tpu.training.train_step import make_train_step
+
+    cfg, model, _ = tiny_model_session
+    sched = DiffusionSchedule.create(timesteps=cfg.model.timesteps)
+    quant.QUANT8 = True
+    with pytest.raises(RuntimeError, match="inference-only"):
+        make_train_step(model, sched, cfg.model)
+
+
 def test_eps_forward_under_quant8_close_to_bf16(tiny_model_session):
     cfg, model, params = tiny_model_session
     m = cfg.model

@@ -194,7 +194,7 @@ def test_sp_sample_matches_replicated(setup):
     mesh = make_mesh(n_data=2, n_model=4)
     p_rep = replicate(mesh, params)
     ins = sp.sp_shard_sample_inputs(mesh, x_T, src, refi, ctx, uctx)
-    for mode in (None, "allgather"):
+    for mode in (None, "allgather", "ring"):
         out = sp.make_sp_sample_fn(model, mesh, tables, sp_attn=mode)(p_rep, *ins)
         assert out.sharding.spec == sp.activation_spec()
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
