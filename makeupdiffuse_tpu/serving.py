@@ -291,9 +291,13 @@ class BatchingEngine:
             span_start, span_end = self._span_start, self._span_end
             if self._inflight_n > 0:
                 span_end = time.time()
+        s["pending"] = self._q.qsize() + self._inflight_n  # leak gauge: must
+        # drain to 0 once every waiter returned (asserted by the --soak driver
+        # and tests/test_serving.py)
         if lats:
             s["latency_ms_p50"] = lats[len(lats) // 2]
             s["latency_ms_p95"] = lats[min(len(lats) - 1, int(len(lats) * 0.95))]
+            s["latency_ms_p99"] = lats[min(len(lats) - 1, int(len(lats) * 0.99))]
             s["latency_ms_max"] = lats[-1]
         if s["batches"]:
             # fraction of batch slots holding real requests (padding efficiency)

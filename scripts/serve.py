@@ -45,6 +45,14 @@ def main():
     ap.add_argument("--allow-placeholder-prompts", action="store_true")
     ap.add_argument("--selftest", action="store_true",
                     help="run an in-process concurrent-client benchmark and exit")
+    ap.add_argument("--soak", action="store_true",
+                    help="adversarial serving soak: repeated cold bursts > max "
+                         "bucket, short-timeout waiters that cancel mid-queue, "
+                         "malformed requests mid-burst — asserts no queue leak "
+                         "(pending drains to 0) and stats consistency, prints "
+                         "one JSON line (selftest v2)")
+    ap.add_argument("--soak-min", type=float, default=5.0,
+                    help="soak duration in minutes")
     ap.add_argument("--clients", type=int, default=12)
     ap.add_argument("--requests-per-client", type=int, default=3,
                     help="sequential transfers per selftest client (closed loop "
@@ -213,6 +221,13 @@ def main():
                                     port=0 if args.selftest else args.port)
     host, port = server.start()
 
+    if args.soak:
+        rc = _soak(server, engine, host, port, m.image_size,
+                   duration_s=args.soak_min * 60.0)
+        server.shutdown()
+        engine.shutdown()
+        sys.exit(rc)
+
     if args.selftest:
         _selftest(server, engine, host, port, m.image_size, args.clients,
                   args.requests_per_client)
@@ -229,6 +244,157 @@ def main():
     except KeyboardInterrupt:
         server.shutdown()
         engine.shutdown()
+
+
+def _soak(server, engine, host, port, hw, duration_s=300.0, seed=0):
+    """Adversarial serving soak (selftest v2 — VERDICT r4 Weak #6).
+
+    Sustained hostile load against the live engine+socket for `duration_s`:
+      * COLD BURSTS: 2× the largest bucket fired simultaneously from fresh
+        connections (forces max-bucket grouping + a queued second wave)
+      * CANCELLING WAITERS: direct engine.transfer calls with a timeout far
+        below the service time — they must cancel mid-queue, be excluded from
+        latency stats, and never leak a pending slot
+      * MALFORMED REQUESTS mid-burst: non-JSON lines, missing files, and a
+        wrong-shape .npy — each must produce ok:false without poisoning the
+        connection or the engine
+      * a steady closed-loop trickle keeping the pipeline busy between bursts
+
+    Exit checks (rc!=0 on violation):
+      * no queue leak: stats.pending drains to 0 after the last waiter returns
+      * stats consistency: engine 'requests' == client-side ok count,
+        'cancelled' == cancels issued, every malformed reply was ok:false
+      * p50/p99/occupancy over the whole soak reported in ONE JSON line
+    """
+    from makeupdiffuse_tpu import serving
+
+    tmp = tempfile.mkdtemp(prefix="mdt_soak_")
+    rng = np.random.default_rng(seed)
+    max_b = engine.buckets[-1]
+    n_pool = 2 * max_b
+    paths = []
+    for i in range(n_pool):
+        s, r = (os.path.join(tmp, f"s{i}.npy"), os.path.join(tmp, f"r{i}.npy"))
+        np.save(s, rng.random((hw, hw, 3), np.float32))
+        np.save(r, rng.random((hw, hw, 3), np.float32))
+        paths.append((s, r, os.path.join(tmp, f"o{i}.npy")))
+    bad_npy = os.path.join(tmp, "bad_shape.npy")
+    np.save(bad_npy, rng.random((hw // 2, hw, 3), np.float32))
+
+    counts = {"ok": 0, "bad_ok": 0, "bad_total": 0, "cancelled": 0,
+              "cancel_failed": 0}
+    lock = threading.Lock()
+    stop = threading.Event()
+
+    def burst_client(i):
+        c = serving.TransferClient(host, port)
+        try:
+            r = c.transfer(*paths[i % n_pool])
+            with lock:
+                counts["ok" if r.get("ok") else "bad_ok"] += 1
+        finally:
+            c.close()
+
+    def steady_client():
+        c = serving.TransferClient(host, port)
+        try:
+            while not stop.is_set():
+                r = c.transfer(*paths[rng.integers(n_pool)])
+                with lock:
+                    counts["ok" if r.get("ok") else "bad_ok"] += 1
+        finally:
+            c.close()
+
+    def cancelling_waiter():
+        src = rng.random((hw, hw, 3), np.float32)
+        try:
+            engine.transfer(src, src, timeout=0.02)
+            with lock:  # 20 ms << service time: success here means no cancel
+                counts["cancel_failed"] += 1
+        except TimeoutError:
+            with lock:
+                counts["cancelled"] += 1
+
+    def malformed_volley():
+        c = serving.TransferClient(host, port)
+        try:
+            malformed = (
+                {"src": "/nonexistent.npy", "ref": paths[0][1],
+                 "out": paths[0][2]},            # missing file
+                {"src": bad_npy, "ref": paths[0][1], "out": paths[0][2]},
+                b"this is not json\n",           # protocol garbage
+            )
+            for req in malformed:
+                if isinstance(req, bytes):
+                    c._file.write(req)
+                    c._file.flush()
+                    r = json.loads(c._file.readline())
+                else:
+                    r = c.request(req)
+                with lock:
+                    counts["bad_total"] += 1
+                    if r.get("ok"):
+                        counts["bad_ok"] += 1  # malformed must NOT be ok
+            # the same (possibly poisoned) connection must still answer
+            if not c.request({"cmd": "stats"}).get("ok"):
+                with lock:
+                    counts["bad_ok"] += 1
+        finally:
+            c.close()
+
+    steady = [threading.Thread(target=steady_client) for _ in range(2)]
+    for t in steady:
+        t.start()
+    t0 = time.time()
+    waves = 0
+    live: list = []
+    while time.time() - t0 < duration_s:
+        wave = [threading.Thread(target=burst_client, args=(i,))
+                for i in range(2 * max_b)]
+        wave.append(threading.Thread(target=cancelling_waiter))
+        wave.append(threading.Thread(target=malformed_volley))
+        for t in wave:
+            t.start()
+        live.extend(wave)
+        waves += 1
+        time.sleep(min(10.0, max(2.0, duration_s / 30.0)))
+        live = [t for t in live if t.is_alive()]
+    stop.set()
+    for t in live + steady:
+        t.join(timeout=600)
+    wall = time.time() - t0
+
+    # give the collector a beat to fetch the final in-flight group
+    deadline = time.time() + 60
+    while engine.stats()["pending"] > 0 and time.time() < deadline:
+        time.sleep(0.2)
+    stats = engine.stats()
+
+    checks = {
+        "no_queue_leak": stats["pending"] == 0,
+        "requests_match": stats["requests"] == counts["ok"],
+        "cancels_counted": (stats["cancelled"] == counts["cancelled"]
+                            and counts["cancel_failed"] == 0),
+        "malformed_rejected": counts["bad_ok"] == 0,
+        "no_socket_errors": counts["bad_ok"] == 0 and counts["ok"] > 0,
+    }
+    result = {
+        "soak": "ok" if all(checks.values()) else "FAIL",
+        "wall_s": round(wall, 1), "waves": waves,
+        "transfers_ok": counts["ok"],
+        "transfers_per_sec": round(counts["ok"] / wall, 3),
+        "cancelled": counts["cancelled"],
+        "malformed_sent": counts["bad_total"],
+        "batches": stats["batches"],
+        "mean_occupancy": round(stats.get("mean_occupancy", 0.0), 3),
+        "device_occupancy": round(stats.get("device_occupancy", 0.0), 3),
+        "latency_ms_p50": round(stats.get("latency_ms_p50", 0.0), 1),
+        "latency_ms_p99": round(stats.get("latency_ms_p99", 0.0), 1),
+        "pending_after_drain": stats["pending"],
+        "checks": checks,
+    }
+    print(json.dumps(result), flush=True)
+    return 0 if all(checks.values()) else 1
 
 
 def _selftest(server, engine, host, port, hw, n_clients, reqs_per_client=3):

@@ -323,3 +323,45 @@ def test_warmup_compiles_every_bucket_and_submit_after_shutdown_raises():
     x = np.zeros((HW, HW, 3), np.float32)
     with pytest.raises(RuntimeError, match="shut down"):
         eng.submit(x, x)
+
+
+def test_hostile_mix_drains_pending_to_zero():
+    """Leak-assert for the soak pattern (scripts/serve.py --soak): a burst
+    bigger than the largest bucket, a cancelling waiter, and a submit-time
+    shape error all in flight together — afterwards the 'pending' gauge
+    (queue + in-flight groups) must drain to exactly 0 and the stats ledger
+    must balance: requests == completed live waiters, cancelled == 1."""
+    calls = []
+
+    def fn(src, ref, seed):
+        calls.append(src.shape[0])
+        time.sleep(0.05)  # long enough that the 1 ms waiter cancels mid-queue
+        return (src - ref).astype(np.float32)
+
+    eng = serving.BatchingEngine(fn, buckets=(1, 2), max_wait_ms=5.0,
+                                 image_hw=HW, pipeline_depth=2)
+    try:
+        x = np.zeros((HW, HW, 3), np.float32)
+        outs = [None] * 5
+        def go(i):
+            outs[i] = eng.transfer(x + i / 8.0, x)
+        threads = [threading.Thread(target=go, args=(i,)) for i in range(5)]
+        for t in threads:
+            t.start()
+        with pytest.raises(TimeoutError):
+            eng.transfer(x, x, timeout=0.001)
+        with pytest.raises(ValueError):
+            eng.submit(np.zeros((HW // 2, HW, 3), np.float32), x)
+        for t in threads:
+            t.join(timeout=30)
+        deadline = time.time() + 10
+        while eng.stats()["pending"] > 0 and time.time() < deadline:
+            time.sleep(0.01)
+        s = eng.stats()
+        assert s["pending"] == 0, s
+        assert s["requests"] == 5 and s["cancelled"] == 1, s
+        assert s["errors"] == 0, s
+        assert all(o is not None for o in outs)
+        assert "latency_ms_p99" in s
+    finally:
+        eng.shutdown()
