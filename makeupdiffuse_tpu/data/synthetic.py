@@ -50,10 +50,110 @@ class FillCirclesDataset:
                     txt="a colored circle")
 
 
+def _dilate(mask: np.ndarray, margin: int) -> np.ndarray:
+    """Binary dilation by `margin` px with a square window — numpy twin of
+    ops.masks.expand_area (max-pool), so region geometry here matches what the
+    PGT teacher and the region loss compute on-device."""
+    if margin <= 0:
+        return mask
+
+    def axis_max(m, axis):  # Chebyshev-ball dilation is separable
+        pad_shape = list(m.shape)
+        pad_shape[axis] += 2 * margin
+        pad = np.zeros(pad_shape, m.dtype)
+        sl = [slice(None)] * m.ndim
+        sl[axis] = slice(margin, margin + m.shape[axis])
+        pad[tuple(sl)] = m
+        out = np.zeros_like(m)
+        for d in range(2 * margin + 1):
+            sl[axis] = slice(d, d + m.shape[axis])
+            np.maximum(out, pad[tuple(sl)], out)
+        return out
+
+    return axis_max(axis_max(mask, 0), 1)
+
+
+def _ellipse(yy, xx, cy, cx, ry, rx):
+    return (((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0).astype(np.float32)
+
+
+class ParametricFaceDataset:
+    """Parametric 'faces' with exact parse maps and known region colors — the
+    substrate for the makeup-recipe learning proof (scripts/learnproof_makeup.py).
+
+    Each item is a (nonmakeup, makeup) pair of cartoon faces: an elliptical face
+    (skin), two eyes, a mouth, on a flat background. Geometry (= identity) is
+    random per face; the MAKEUP face additionally carries saturated random lip /
+    eyeshadow / skin-tint colors, with the eyeshadow painted on exactly the
+    region the PGT teacher histogram-matches (``expand_area(eyes, eye_margin) ∩
+    face``, teacher/pgt.py:46-56) so the expected post-transfer color of every
+    region is a known constant. Mirrors the MT dataset's role
+    (/root/reference/diffdata/datasets.py:591-665) with analytically known
+    ground truth; small per-region texture noise keeps the histograms
+    non-degenerate for the matcher."""
+
+    NOISE = 0.02
+
+    def __init__(self, size: int = 64, eye_margin: int = 12, lip_margin: int = 4,
+                 seed: int = 0):
+        self.size, self.eye_margin, self.lip_margin, self.seed = (
+            size, eye_margin, lip_margin, seed)
+
+    def face(self, rng: np.random.RandomState, makeup: bool) -> Dict[str, np.ndarray]:
+        s = self.size
+        yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
+        # geometry = identity
+        cy, cx = rng.uniform(0.48, 0.54) * s, rng.uniform(0.46, 0.54) * s
+        ry, rx = rng.uniform(0.32, 0.40) * s, rng.uniform(0.26, 0.33) * s
+        face = _ellipse(yy, xx, cy, cx, ry, rx)
+        lip = _ellipse(yy, xx, cy + 0.52 * ry, cx, 0.16 * ry, 0.42 * rx) * face
+        eye_l = _ellipse(yy, xx, cy - 0.30 * ry, cx - 0.45 * rx,
+                         0.11 * ry, 0.17 * rx) * face
+        eye_r = _ellipse(yy, xx, cy - 0.30 * ry, cx + 0.45 * rx,
+                         0.11 * ry, 0.17 * rx) * face
+        eyes = np.clip(eye_l + eye_r, 0, 1)
+        shadow = _dilate(eyes, self.eye_margin) * face * (1 - eyes)
+        lip = lip * (1 - shadow)  # teacher regions are disjoint the same way
+        if makeup:
+            c_skin = rng.uniform(0.2, 0.9, 3).astype(np.float32)
+            c_lip = rng.uniform(0.2, 0.9, 3).astype(np.float32)
+            c_shadow = rng.uniform(0.2, 0.9, 3).astype(np.float32)
+        else:  # neutral, narrow-band "no makeup" palette
+            c_skin = np.float32([0.75, 0.62, 0.52]) + rng.uniform(-0.05, 0.05, 3)
+            c_lip = np.float32([0.72, 0.50, 0.48]) + rng.uniform(-0.03, 0.03, 3)
+            c_shadow = c_skin  # eyeshadow region is bare skin
+        c_bg = np.full(3, rng.uniform(0.35, 0.65), np.float32)
+        c_eye = np.full(3, 0.08, np.float32)  # dark iris, both faces
+        img = np.empty((s, s, 3), np.float32)
+        img[:] = c_bg
+        skin = face * (1 - lip) * (1 - eyes) * (1 - shadow)
+        for m, c in ((skin, c_skin), (shadow, c_shadow), (lip, c_lip), (eyes, c_eye)):
+            img += m[..., None] * (c - img)
+        img += rng.uniform(-self.NOISE, self.NOISE, img.shape).astype(np.float32)
+        seg = (face * 1 + lip * 7 + eyes * 4).astype(np.int32)  # bg stays 0
+        return dict(
+            img=np.clip(img * 2 - 1, -1, 1).astype(np.float32),
+            mask_full=np.stack([lip, face, eye_l, eye_r], -1).astype(np.float32),
+            seg=seg, region_lip=lip, region_shadow=shadow, region_skin=skin,
+            colors=np.stack([c_lip, c_shadow, c_skin]),  # [3 regions, rgb] in [0,1]
+        )
+
+    def pair(self, idx: int) -> Dict[str, np.ndarray]:
+        rng = np.random.RandomState(self.seed * 99991 + idx)
+        return {"src": self.face(rng, makeup=False),
+                "ref": self.face(rng, makeup=True)}
+
+
 def synthetic_face_batch(batch: int, img_size: int, context_dim: int,
-                         max_length: int = 77, seed: int = 0) -> Dict[str, np.ndarray]:
+                         max_length: int = 77, seed: int = 0,
+                         with_diff: bool = True) -> Dict[str, np.ndarray]:
     """A full composite-loss batch with plausible structure: oval face masks, random
-    seg labels, consistent src/ref ranges — for e2e smoke/bench without MT-Dataset."""
+    seg labels, consistent src/ref ranges — for e2e smoke/bench without MT-Dataset.
+
+    ``with_diff=False`` skips the 136-ch landmark diff fields — they are only
+    consumed by teacher_type ELEGANT (teacher/base.TARGET_BATCH_KEYS) and
+    dominate the host cost of this generator (~3.5 s/batch at 256² on one core,
+    vs ~0.3 s without)."""
     rng = np.random.RandomState(seed)
     H = img_size
     yy, xx = np.mgrid[0:H, 0:H].astype(np.float32)
@@ -101,8 +201,9 @@ def synthetic_face_batch(batch: int, img_size: int, context_dim: int,
         mask_r_full=r_mask.astype(np.float32),
         # landmark tuples for the GAN teachers (EleGANt conditioning)
         lms_s=s_lms, lms_r=r_lms,
-        diff_s=np.stack([diff_field(l, H) for l in s_lms]),
-        diff_r=np.stack([diff_field(l, H) for l in r_lms]),
+        **(dict(diff_s=np.stack([diff_field(l, H) for l in s_lms]),
+                diff_r=np.stack([diff_field(l, H) for l in r_lms]))
+          if with_diff else {}),
         pgt_sr=pgt.astype(np.float32),
         makeup_pgt=pgt.astype(np.float32),
         context=rng.normal(size=(batch, max_length, context_dim)).astype(np.float32),

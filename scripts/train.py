@@ -119,7 +119,11 @@ def main():
             for i in range(n):
                 yield synthetic_face_batch(cfg.train.batch_size, m.image_size,
                                            m.unet.context_dim, m.clip.max_length,
-                                           seed=epoch * 100000 + i)
+                                           seed=epoch * 100000 + i,
+                                           # 136-ch diff fields only feed the
+                                           # ELEGANT teacher; skipping them cuts
+                                           # host gen ~10x on the single core
+                                           with_diff=m.teacher_type == "ELEGANT")
     else:
         assert args.data_root, "--data-root or --synthetic required"
         from makeupdiffuse_tpu.data.mt_dataset import MTDataset, data_loader
