@@ -62,3 +62,35 @@ def test_committed_artifact_is_decisive():
     for fn in ("samples_before_control.png", "samples_after_control.png",
                "samples_shuffled_hint.png", "samples_uncond_after_a2.png"):
         assert os.path.exists(os.path.join(root, "artifacts", "learnproof", fn))
+
+
+def test_learnproof_makeup_recipe_runs_and_learns(tmp_path):
+    """Miniature run of the FULL makeup-recipe proof (scripts/learnproof_makeup.py):
+    the REAL composite_loss + PGT teacher on parametric faces with known region
+    colors. At CI scale this asserts the machinery (pool build, on-device PGT
+    compose, 3 stages, region metrics, grids) and that every stage's fixed
+    probe decreases — the decisive-factor gate runs at full scale on-chip
+    (artifacts/learnproof_makeup)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "learnproof_makeup", os.path.join(root, "scripts", "learnproof_makeup.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    args = argparse.Namespace(
+        cpu=True, model="tiny", batch=4, pool=32, steps_a1=12, steps_a2=12,
+        steps_c=12, sample_steps=2, chunk=6, alphas=(1.0, 1.0, 1.0),
+        decisive_factor=0.0, bg_bound=1.0, lr_vae=1e-3, lr_unet=2e-4,
+        lr_control=2e-4, seed=0, out=str(tmp_path),
+    )
+    rc = mod.run(args)
+    assert rc == 0
+    with open(os.path.join(str(tmp_path), "summary.json")) as f:
+        s = json.load(f)
+    for stage in ("a1_vae", "a2_unet", "c_composite"):
+        assert s[stage]["probe_last"] < s[stage]["probe_first"], (stage, s[stage])
+    # region metrics present and finite for all three sample arms
+    for arm in ("before_composite", "after_composite", "shuffled_ref"):
+        m = s["region_color_err"][arm]
+        assert 0 <= m["color_err"] < 4 and 0 <= m["bg_mse"] < 4, (arm, m)
