@@ -45,8 +45,10 @@ def enable_quant8(enable: bool = True) -> bool:
 
     NUMERICS-CHANGING: int8 weights/activations on the MXU's 2x rate. Never
     implied by ``enable_tpu_kernels`` — drivers opt in explicitly
-    (``bench.py --quant8``, ``scripts/serve.py --quant8``); the measured
-    throughput/PSNR trade lives in PERF.md."""
+    (``bench.py --quant8``, ``scripts/serve.py --quant8``, env ``MDT_QUANT8=1``).
+    Measured on-chip (PERF.md r5): +5.7% img/s, 31.7 dB output PSNR vs bf16 —
+    bf16 stays the default. Inference-only: ``make_train_step`` refuses the
+    knob (round/clip zeroes weight gradients)."""
     from . import quant
 
     quant.QUANT8 = bool(enable)

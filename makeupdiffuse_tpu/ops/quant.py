@@ -3,10 +3,11 @@
 Beyond-reference serving lever: the reference (jiean001/MakeupDiffuse) runs
 everything fp32 on GPU (`/root/reference/runs/test.py:55` — ``precision=32``)
 and has no quantized path. On TPU v5e the MXU executes int8 at 2x the bf16
-rate (394.7 TOPs vs 197 TFLOPs peak), and the 50-step cDDIM chain is
-compute-bound at 53% MFU (PERF.md), so routing the UNet/ControlNet conv and
-projection GEMMs through s8 x s8 -> s32 is the one remaining >10% lever the
-bf16 dispatch-policy sweeps could not reach.
+rate (394.7 TOPs vs 197 TFLOPs peak); MEASURED on-chip (PERF.md r5) the
+dynamic-quant overhead caps the op-level gain at ~1.18x and the whole
+50-step pipeline at **+5.7% img/s for 31.7 dB output PSNR vs bf16** — so the
+hoped >10% is refuted and bf16 stays the default; this path is the measured
+opt-in (`bench.py --quant8`, `scripts/serve.py --quant8`, `MDT_QUANT8=1`).
 
 Scheme (standard w8a8 dynamic PTQ):
   * weights: symmetric per-output-channel int8, quantized in-graph from the

@@ -73,13 +73,18 @@ def main():
     # Perturb exactly the all-zero kernels so signal flows through the network;
     # timing is value-independent either way.
     leaves, treedef = jax.tree_util.tree_flatten(params)
-    kz = jax.random.split(jax.random.PRNGKey(42), len(leaves))
     n_zero = 0
-    for i, (l, k) in enumerate(zip(leaves, kz)):
-        if l.ndim >= 2 and not jnp.any(l).item():
-            leaves[i] = 0.02 * jax.random.normal(k, l.shape, l.dtype)
+    rng_h = np.random.default_rng(42)
+    for i, l in enumerate(leaves):
+        # HOST-side zero check + fill: fast_init leaves are host numpy; a
+        # jnp.any per leaf would upload all ~2.8G of bf16 params through the
+        # tunnel one leaf at a time (measured: stalls >14 min)
+        arr = np.asarray(l)
+        if arr.ndim >= 2 and not np.any(arr != 0):
+            leaves[i] = (0.02 * rng_h.standard_normal(arr.shape)).astype(arr.dtype)
             n_zero += 1
-    params = treedef.unflatten(leaves)
+    params = jax.device_put(treedef.unflatten(leaves))  # one bulk upload —
+    # leaving host numpy here would re-ship ~2.8G per pipeline call
     print(f"# perturbed {n_zero} zero-init kernels (signal now flows through "
           f"every quantized GEMM)", file=sys.stderr, flush=True)
 
