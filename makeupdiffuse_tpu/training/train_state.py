@@ -86,10 +86,21 @@ class TrainState(flax.struct.PyTreeNode):
     def create(cls, params, train_cfg: TrainConfig, model_cfg: ModelConfig,
                use_ema: bool = False, ema_decay: float = 0.9999) -> "TrainState":
         tx = make_optimizer(train_cfg, params)
+        # Host-side optimizer init: eager `tx.init` dispatches one zeros_like per
+        # leaf, and through the axon attachment EVERY eager op is a tiny remote
+        # compile — ~20 min of round trips for the flagship tree (the same
+        # pathology fast_init_model avoids for params). make_optimizer's states
+        # are all zero-initialized (AdamW count/mu/nu, EmptyState), so eval_shape
+        # + numpy zeros is exact; leaves move to device with the first jitted step.
+        import numpy as np
+
+        shapes = jax.eval_shape(tx.init, params)
+        opt_state = jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, s.dtype), shapes)
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,
-            opt_state=tx.init(params),
+            opt_state=opt_state,
             t_min=jnp.asarray(model_cfg.t_min, jnp.int32),
             tx=tx,
             ema_params=jax.tree_util.tree_map(lambda x: x, params) if use_ema else None,

@@ -123,7 +123,11 @@ def run(args):
 
     def train_stage(name, loss_fn, prefixes, lr, steps, p):
         tx = subtree_opt(prefixes, lr)
-        opt = tx.init(p)
+        # eval_shape + host zeros: eager tx.init is one remote mini-compile PER
+        # LEAF through the axon attachment (training/train_state.py:89 rationale);
+        # adamw/set_to_zero states are all zero-initialized so this is exact
+        opt = jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, s.dtype), jax.eval_shape(tx.init, p))
         K = max(1, min(args.chunk, steps))  # optimizer steps per device dispatch
 
         # lax.scan chunking: K steps ride ONE dispatch. Through the axon tunnel

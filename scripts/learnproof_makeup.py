@@ -145,7 +145,10 @@ def run(args):
         """scan-chunked stage (learnproof.py:124 pattern): K optimizer steps per
         dispatch; fixed-probe eval isolates the parameter update's effect."""
         tx = subtree_opt(prefixes, lr)
-        opt = tx.init(p)
+        # eval_shape + host zeros — not eager tx.init (one remote mini-compile
+        # per leaf through axon; training/train_state.py:89)
+        opt = jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, s.dtype), jax.eval_shape(tx.init, p))
         K = max(1, min(args.chunk, steps))
 
         @jax.jit

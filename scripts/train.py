@@ -12,6 +12,9 @@ import pickle
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# persistent compile cache: restart-after-crash (auto-resume below) must not
+# pay the multi-minute train-step compile a second time
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax"))
 
 import jax
 import jax.numpy as jnp
