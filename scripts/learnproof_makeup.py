@@ -61,15 +61,22 @@ def proof_config(preset: str):
     return replace(cfg, model=replace(m, unet=unet, control=ctrl, vae=vae))
 
 
-def build_pool(n: int, size: int, seed: int):
+def build_pool(n: int, size: int, seed: int, cache_dir: str = None):
     """Host-side pool of parametric face pairs (one-time cost; batches are
-    drawn from it so per-step host work stays trivial on the single core)."""
+    drawn from it so per-step host work stays trivial on the single core).
+    Deterministic given (n, size, seed) — cached to disk so reruns skip the
+    ~15 min of host-side mask dilation on the single core."""
+    cache = (os.path.join(cache_dir, f"pool_{n}_{size}_{seed}.npz")
+             if cache_dir else None)
+    if cache and os.path.exists(cache):
+        print(f"# pool cache hit: {cache}", flush=True)
+        return dict(np.load(cache))
     from makeupdiffuse_tpu.data.synthetic import ParametricFaceDataset
 
     ds = ParametricFaceDataset(size=size, seed=seed)
     pairs = [ds.pair(i) for i in range(n)]
     st = lambda side, key: np.stack([p[side][key] for p in pairs])
-    return {
+    pool = {
         "non_img": st("src", "img"), "mk_img": st("ref", "img"),
         "seg_s": st("src", "seg"),
         "mask_s": st("src", "mask_full"), "mask_r": st("ref", "mask_full"),
@@ -78,6 +85,9 @@ def build_pool(n: int, size: int, seed: int):
         "reg_shadow": st("src", "region_shadow"),
         "reg_skin": st("src", "region_skin"),
     }
+    if cache:
+        np.savez(cache, **pool)
+    return pool
 
 
 def run(args):
@@ -103,8 +113,9 @@ def run(args):
     )
     H = m.image_size
 
+    os.makedirs(args.out, exist_ok=True)
     print(f"# building pool of {args.pool} pairs...", flush=True)
-    pool = build_pool(args.pool, H, args.seed + 1)
+    pool = build_pool(args.pool, H, args.seed + 1, cache_dir=args.out)
     n_pool = args.pool
 
     # PGT targets for the WHOLE pool, composed on-device once (production
@@ -140,8 +151,24 @@ def run(args):
             {"train": optax.adamw(lr), "freeze": optax.set_to_zero()}, labels
         )
 
+    import pickle
+
+    def save_stage(p, name, stats=None):
+        with open(os.path.join(args.out, f"params_{name}.pkl"), "wb") as f:
+            pickle.dump(jax.device_get(p), f)
+        if stats is not None:
+            with open(os.path.join(args.out, f"stage_{name}.json"), "w") as f:
+                json.dump(stats, f)
+
+    def load_stage(name):
+        with open(os.path.join(args.out, f"params_{name}.pkl"), "rb") as f:
+            p = jax.tree_util.tree_map(jnp.asarray, pickle.load(f))
+        sp = os.path.join(args.out, f"stage_{name}.json")
+        stats = json.load(open(sp)) if os.path.exists(sp) else {"loaded": True}
+        return p, stats
+
     def train_stage(name, loss_fn, data_keys, prefixes, lr, steps, p,
-                    n_items=None):
+                    n_items=None, on_eval=None, eval_every=0):
         """scan-chunked stage (learnproof.py:124 pattern): K optimizer steps per
         dispatch; fixed-probe eval isolates the parameter update's effect."""
         tx = subtree_opt(prefixes, lr)
@@ -192,6 +219,9 @@ def run(args):
                     losses.append(float(lv))
                     f.write(json.dumps({"step": done + i, "loss": losses[-1]}) + "\n")
                 done += k_now
+                if on_eval and eval_every and done % eval_every == 0 \
+                        and done < steps:
+                    on_eval(p, done)
         probe_last = float(eval_loss(p, probe, probe_key))
         w = max(1, min(50, steps // 4))
         first, last = float(np.mean(losses[:w])), float(np.mean(losses[-w:]))
@@ -214,19 +244,30 @@ def run(args):
         kl = 0.5 * jnp.mean(mean**2 + jnp.exp(logvar) - 1.0 - logvar)
         return recon + 1e-4 * kl, {"recon": recon}
 
+    STAGES = ("a1", "a2", "c", "eval")
+    start = STAGES.index(args.from_stage)
+
     imgs_of = lambda idx: all_imgs[idx]
-    params, s_a1 = train_stage(
-        "a1_vae", vae_loss, {"jpg": imgs_of}, ("first_stage_model",),
-        args.lr_vae, args.steps_a1, params, n_items=len(all_imgs))
+    if start <= STAGES.index("a1"):
+        params, s_a1 = train_stage(
+            "a1_vae", vae_loss, {"jpg": imgs_of}, ("first_stage_model",),
+            args.lr_vae, args.steps_a1, params, n_items=len(all_imgs))
+        save_stage(params, "a1", s_a1)
+    else:
+        params, s_a1 = load_stage("a1")
 
     # ---- A2: unconditional UNet ----------------------------------------------
     def uncond_loss(p, batch, key):
         return simple_diffusion_loss(
             model, p, sched, m, batch["jpg"], None, ctx(batch["jpg"].shape[0]), key)
 
-    params, s_a2 = train_stage(
-        "a2_unet", uncond_loss, {"jpg": imgs_of}, ("diffusion_model",),
-        args.lr_unet, args.steps_a2, params, n_items=len(all_imgs))
+    if start <= STAGES.index("a2"):
+        params, s_a2 = train_stage(
+            "a2_unet", uncond_loss, {"jpg": imgs_of}, ("diffusion_model",),
+            args.lr_unet, args.steps_a2, params, n_items=len(all_imgs))
+        save_stage(params, "a2", s_a2)
+    else:
+        params, s_a2 = load_stage("a2")
 
     # ---- eval harness (held-out pairs, known colors) --------------------------
     from makeupdiffuse_tpu.data.synthetic import ParametricFaceDataset
@@ -260,9 +301,27 @@ def run(args):
                 "skin": float(errs[2]), "bg_mse": bg}
 
     def sample_transfers(p, tag, ref01=None):
+        """Production-parity sampling: 50-step DDIM at CFG --eval-cfg
+        (reference inference is CFG 9.0, diffusion_makeup.py:201,292-303).
+        The prompt is constant in the proof, so the conditioning channel is
+        the ControlNet hint: uncond = the control-free UNet forward (the
+        reference's own NoControlModel ablation path, c_concat=None,
+        diffusion_makeup.py:414-437) — which stage A2 trained directly, so
+        both CFG arms are in-distribution. The before-C arm is CFG-invariant
+        by construction (zero-init ControlNet output convs ⇒ e_cond ≡
+        e_uncond), so the decisive ratios compare like with like."""
         ref01_ = e_ref01 if ref01 is None else ref01
         hint = jnp.asarray(np.concatenate([e_src01, ref01_], -1))
-        den = make_denoiser(model, p, ctx(n_eval), hint, schedule=sched)
+        den_c = make_denoiser(model, p, ctx(n_eval), hint, schedule=sched)
+        if args.eval_cfg and args.eval_cfg != 1.0:
+            den_u = make_denoiser(model, p, ctx(n_eval), None, schedule=sched)
+            s = args.eval_cfg
+
+            def den(x, t):
+                eu, ec = den_u(x, t), den_c(x, t)
+                return eu + s * (ec - eu)
+        else:
+            den = den_c
         x_T = jax.random.normal(jax.random.PRNGKey(7),
                                 (n_eval, m.latent_size, m.latent_size,
                                  m.latent_channels))
@@ -284,7 +343,16 @@ def run(args):
               f"skin {met['skin']:.4f}) bg_mse {met['bg_mse']:.4f}", flush=True)
         return met
 
-    met_before = sample_transfers(params, "before_composite")
+    before_path = os.path.join(args.out, "eval_before.json")
+    if start <= STAGES.index("c"):
+        met_before = sample_transfers(params, "before_composite")
+        with open(before_path, "w") as f:
+            json.dump(met_before, f)
+    else:
+        # eval-only rerun: the before-C arm was measured (and saved) when the
+        # pre-C params still existed; re-measuring it with trained params
+        # would be wrong
+        met_before = json.load(open(before_path))
 
     # ---- C: the REAL composite recipe, ControlNet only ------------------------
     def composite(p, batch, key):
@@ -304,9 +372,20 @@ def run(args):
         "context": lambda i, _c=np.asarray(ctx_row): np.broadcast_to(
             _c[None], (len(i),) + _c.shape),
     }
-    params, s_c = train_stage(
-        "c_composite", composite, comp_keys, ("control_model",),
-        args.lr_control, args.steps_c, params)
+    c_traj = []
+
+    def mid_eval(p, done):
+        met = sample_transfers(p, f"c{done}")
+        c_traj.append({"step": done, **met})
+
+    if start <= STAGES.index("c"):
+        params, s_c = train_stage(
+            "c_composite", composite, comp_keys, ("control_model",),
+            args.lr_control, args.steps_c, params,
+            on_eval=mid_eval, eval_every=args.eval_every)
+        save_stage(params, "c", s_c)
+    else:
+        params, s_c = load_stage("c")
 
     met_after = sample_transfers(params, "after_composite")
     roll = np.roll(np.arange(n_eval), 1)
@@ -324,11 +403,13 @@ def run(args):
         "bg_bound": args.bg_bound, "alphas": list(args.alphas),
         "batch": args.batch, "pool": args.pool,
         "image_size": H, "model": args.model,
+        "eval_cfg": args.eval_cfg, "c_trajectory": c_traj,
     }
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))
-    ok = all(s["probe_last"] < s["probe_first"] for s in (s_a1, s_a2, s_c))
+    ok = all(s.get("probe_last", 0.0) < s.get("probe_first", 1.0)
+             for s in (s_a1, s_a2, s_c))
     msg = "OK — every stage's fixed-probe loss decreased" if ok else "FAILED"
     if args.decisive_factor > 0:
         decisive = (f_before >= args.decisive_factor
@@ -359,6 +440,18 @@ def main():
     ap.add_argument("--alphas", type=float, nargs=3, default=(1.0, 1.0, 1.0),
                     help="PGT (lip, eye, skin) blend strengths for the proof; "
                          "production anneal stays the default elsewhere")
+    ap.add_argument("--eval-cfg", type=float, default=9.0,
+                    help="CFG scale for the eval sampling arms (production "
+                         "inference parity: 9.0, diffusion_makeup.py:201); "
+                         "conditioning channel = the ControlNet hint (prompt "
+                         "is constant in the proof), uncond = control-free")
+    ap.add_argument("--eval-every", type=int, default=0,
+                    help="sample + score the eval arm every N C-steps "
+                         "(trajectory lands in summary.json)")
+    ap.add_argument("--from-stage", choices=("a1", "a2", "c", "eval"),
+                    default="a1",
+                    help="resume from a stage's saved params_<stage>.pkl in "
+                         "--out (a2: skip A1; c: skip A1+A2; eval: only sample)")
     ap.add_argument("--decisive-factor", type=float, default=5.0)
     ap.add_argument("--bg-bound", type=float, default=0.03,
                     help="after-composite background MSE vs the source must "

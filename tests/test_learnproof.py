@@ -83,6 +83,8 @@ def test_learnproof_makeup_recipe_runs_and_learns(tmp_path):
         steps_c=12, sample_steps=2, chunk=6, alphas=(1.0, 1.0, 1.0),
         decisive_factor=0.0, bg_bound=1.0, lr_vae=1e-3, lr_unet=2e-4,
         lr_control=2e-4, seed=0, out=str(tmp_path),
+        # production-parity CFG eval path (hint-channel CFG, uncond=control-free)
+        eval_cfg=9.0, eval_every=0, from_stage="a1",
     )
     rc = mod.run(args)
     assert rc == 0
