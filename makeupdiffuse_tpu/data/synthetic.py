@@ -131,9 +131,16 @@ class ParametricFaceDataset:
             img += m[..., None] * (c - img)
         img += rng.uniform(-self.NOISE, self.NOISE, img.shape).astype(np.float32)
         seg = (face * 1 + lip * 7 + eyes * 4).astype(np.int32)  # bg stays 0
+        # mask_full ch1 is the parse "skin" analog: BiSeNet classes are mutually
+        # exclusive, so the reference's face channel (classes {1,6}+brows,
+        # preprocess.mask_channels) NEVER contains lip or eye pixels. Painting
+        # the full ellipse here made the PGT's final skin pass overwrite the
+        # lip match (teacher/pgt.py:72-75 composes skin last), capping the
+        # learnproof lip fidelity at the untrained level.
+        face_skin = face * (1 - lip) * (1 - eyes)
         return dict(
             img=np.clip(img * 2 - 1, -1, 1).astype(np.float32),
-            mask_full=np.stack([lip, face, eye_l, eye_r], -1).astype(np.float32),
+            mask_full=np.stack([lip, face_skin, eye_l, eye_r], -1).astype(np.float32),
             seg=seg, region_lip=lip, region_shadow=shadow, region_skin=skin,
             colors=np.stack([c_lip, c_shadow, c_skin]),  # [3 regions, rgb] in [0,1]
         )

@@ -46,9 +46,16 @@ def annealed_alpha(epoch: int, milestones: Tuple[int, ...], values: Tuple[float,
 def region_masks(mask_full: jnp.ndarray, eye_margin: int, lip_margin: int):
     """[H,W,4] full mask → (lip, eye, skin) region masks, each [H,W].
 
-    eye = expand(eye_l+eye_r, margin)·face ; skin = face·(1−eye) — exactly the
-    regions the reference's p_loss_makeup uses (makeup_diffuse.py:346-357)."""
-    lip = expand_area(mask_full[..., 0], lip_margin)
+    lip = raw ch0 ; eye = expand(eye_l+eye_r, margin)·face ; skin = face·(1−eye)
+    — exactly the regions the reference's p_loss_makeup uses
+    (makeup_diffuse.py:346-357): only the EYE region is dilated (:350); the lip
+    histogram source is the raw lip mask (:348). Dilating the lip mixes a
+    skin-colored ring into the (small) lip histogram and garbles the per-channel
+    rank matching — measured at 64²: core-lip MSE vs the known target color
+    0.0005 undilated vs 0.34/0.68 at margin 1/4. `lip_margin` is kept for
+    margins-dict signature parity with AnnealingComposePGT (teacher.py:109)."""
+    del lip_margin
+    lip = mask_full[..., 0]
     face = mask_full[..., 1]
     eyes = jnp.clip(mask_full[..., 2] + mask_full[..., 3], 0.0, 1.0)
     eye = expand_area(eyes, eye_margin) * face

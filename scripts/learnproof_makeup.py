@@ -66,7 +66,8 @@ def build_pool(n: int, size: int, seed: int, cache_dir: str = None):
     drawn from it so per-step host work stays trivial on the single core).
     Deterministic given (n, size, seed) — cached to disk so reruns skip the
     ~15 min of host-side mask dilation on the single core."""
-    cache = (os.path.join(cache_dir, f"pool_{n}_{size}_{seed}.npz")
+    # v2: mask_full ch1 is the parse-skin analog (lip/eye-free) — synthetic.py
+    cache = (os.path.join(cache_dir, f"pool_v2_{n}_{size}_{seed}.npz")
              if cache_dir else None)
     if cache and os.path.exists(cache):
         print(f"# pool cache hit: {cache}", flush=True)
