@@ -326,9 +326,21 @@ def run(args):
         x_T = jax.random.normal(jax.random.PRNGKey(7),
                                 (n_eval, m.latent_size, m.latent_size,
                                  m.latent_channels))
-        z = ddim_sample(jax.jit(den), x_T, tables)
-        img = np.asarray(jnp.clip(
-            model.apply(p, z, method=model.decode_latent), -1, 1))
+        # the axon remote-compile RPC can drop transiently mid-run (run 2 lost
+        # its final eval to "response body closed"); one retry re-traces and
+        # recovers without losing the trained params
+        for attempt in (0, 1):
+            try:
+                z = ddim_sample(jax.jit(den), x_T, tables)
+                img = np.asarray(jnp.clip(
+                    model.apply(p, z, method=model.decode_latent), -1, 1))
+                break
+            except Exception:
+                if attempt:
+                    raise
+                print(f"[samples {tag}] transient failure, retrying...",
+                      flush=True)
+                time.sleep(30)
         met = region_metrics(img)
         tiles = np.concatenate([e_src, ref01_ * 2 - 1, e_pgt, img], axis=0)
         grid = make_grid(to_uint8(tiles), nrow=n_eval)
