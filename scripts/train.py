@@ -34,11 +34,18 @@ def main():
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--steps-per-epoch", type=int, default=None)
+    ap.add_argument("--ckpt-every", type=int, default=None,
+                    help="checkpoint every N steps (default: reference's 200, "
+                         "runs/train.py:50)")
     ap.add_argument("--allow-placeholder-prompts", action="store_true",
                     help="proceed with placeholder CLIP prompt ids (wrong-word "
                          "conditioning) on converted weights")
     ap.add_argument("--tiny", action="store_true", help="tiny model (CI/smoke)")
+    ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
+    if args.cpu:
+        # before any jax.devices() call — the axon plugin ignores JAX_PLATFORMS
+        jax.config.update("jax_platforms", "cpu")
 
     from makeupdiffuse_tpu.config import Config, load_config, tiny_test_config
     from makeupdiffuse_tpu.ops import enable_tpu_kernels_if_tpu
@@ -54,6 +61,8 @@ def main():
            else (tiny_test_config() if args.tiny else Config()))
     if args.batch_size:
         cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, batch_size=args.batch_size))
+    if args.ckpt_every:
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, ckpt_every_steps=args.ckpt_every))
 
     m = cfg.model
     if args.tiny:
